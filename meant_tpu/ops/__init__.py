@@ -4,6 +4,7 @@ from .rotary import (apply_rot_emb_sincos, apply_rotary, axial_rotary_sincos,
                      frame_rotary_sincos, lang_freqs, make_freqs, pixel_freqs,
                      rope_angles, rotate_half, rotate_queries_and_keys,
                      rotate_queries_or_keys, xpos_scale)
+from .patch import patchify
 from .temporal import lag_attend
 
 __all__ = [
@@ -11,5 +12,5 @@ __all__ = [
     "apply_rot_emb_sincos", "apply_rotary", "axial_rotary_sincos",
     "frame_rotary_sincos", "lang_freqs", "make_freqs", "pixel_freqs",
     "rope_angles", "rotate_half", "rotate_queries_and_keys",
-    "rotate_queries_or_keys", "xpos_scale", "lag_attend",
+    "rotate_queries_or_keys", "xpos_scale", "lag_attend", "patchify",
 ]
