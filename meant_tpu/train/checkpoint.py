@@ -1,0 +1,63 @@
+"""Orbax checkpointing + encoder grafting.
+
+The reference's checkpoint workflows (SURVEY.md §5.4):
+  * whole-model pickle per epoch with schema
+    `{model}_{num_encoders}_{dataset}_{run_id}_{epoch}.pt`
+    (`in_loop_train.py:331`); optimizer/scheduler state saved separately.
+  * checkpoint SURGERY: pretrained encoder stacks grafted onto fresh models
+    (`model.languageEncoders = …`, `in_loop_train.py:496-507`), embeddings
+    swapped into baselines.
+
+TPU equivalents here: orbax pytree checkpoints of {params, opt_state, step},
+and `graft` which copies named sub-trees (languageEncoders_*, visionEncoders_*,
+embedding, …) from a source params tree into a target — same operation, pure
+functional.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def checkpoint_name(model_name: str, num_encoders: int, dataset: str,
+                    run_id: str, epoch: int) -> str:
+    """Reference filename schema (`in_loop_train.py:331`)."""
+    return f"{model_name}_{num_encoders}_{dataset}_{run_id}_{epoch}"
+
+
+def save(path: str, tree) -> None:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore(path: str, target=None):
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, target=target)
+    return ckptr.restore(path)
+
+
+def graft(target_params: Dict, source_params: Dict,
+          prefixes: Sequence[str] = ("languageEncoders_", "visionEncoders_",
+                                     "embedding")) -> Dict:
+    """Copy sub-trees whose top-level key matches any prefix from source into
+    target (returns a new tree). Mirrors the reference's encoder grafting
+    (`in_loop_train.py:496-507`)."""
+    out = dict(target_params)
+    for key in target_params:
+        if any(key.startswith(p) for p in prefixes) and key in source_params:
+            src = source_params[key]
+            tgt = target_params[key]
+            # shapes must agree
+            jax.tree.map(lambda a, b: None if a.shape == b.shape else
+                         (_ for _ in ()).throw(ValueError(
+                             f"graft shape mismatch under {key}")), tgt, src)
+            out[key] = src
+    return out

@@ -1,0 +1,287 @@
+"""Classification trainer — TPU-native rebuild of `meant_trainer`
+(`in_loop_train.py:92-377`).
+
+Semantics preserved:
+  * loss: CrossEntropyLoss applied to the model's sigmoid outputs (the
+    reference feeds sigmoid probabilities into CE, `in_loop_train.py:232` —
+    replicated via log_softmax over the sigmoid outputs);
+  * grad-clip 1.0 every step; optimizer/scheduler stepped per reference;
+  * per-epoch validation, early stop patience 5 on val macro-F1
+    (`in_loop_train.py:197-200,321-329`);
+  * end-of-training checkpoint with the reference filename schema;
+  * optional final test pass (`test_model` flag).
+
+TPU-first changes:
+  * one jitted train step (donated state) — params fp32, activations bf16
+    when the model was built with dtype=bfloat16 (no GradScaler needed);
+  * data-parallel over a jax.sharding.Mesh: batches sharded on 'data',
+    params replicated, gradient allreduce inserted by XLA over ICI;
+  * metrics accumulate on device as confusion-matrix deltas (no per-step
+    host sync — fixes the `.detach().cpu()` sink at `in_loop_train.py:240`);
+  * NaN guard mirrors `in_loop_train.py:228-231` without forcing a device
+    sync every step (checked on the device-side loss each epoch).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from meant_tpu.parallel import (batch_sharding, make_mesh, replicated,
+                                shard_batch)
+from meant_tpu.train import checkpoint as ckpt
+from meant_tpu.train.optim import build_optimizer
+from meant_tpu.utils.metrics import F1Metrics, confusion_delta
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def sigmoid_ce_loss(out: jnp.ndarray, labels: jnp.ndarray,
+                    weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """CrossEntropy over the model's sigmoid outputs (reference convention)."""
+    logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                               axis=-1).squeeze(-1)
+    if weight is None:
+        return jnp.mean(nll)
+    return jnp.sum(nll * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+
+
+# Forward-signature dispatch, mirroring `in_loop_train.py:212-272`.
+def model_inputs(model_name: str, batch: Dict[str, Any]) -> tuple:
+    if model_name == "meant":
+        return (batch["tweets"], batch["graphs"]), \
+               {"attention_mask": batch.get("attention_masks")}
+    if model_name == "meant_vision":
+        return (batch["graphs"],), {}
+    if model_name in ("meant_tweet",):
+        return (batch["tweets"],), \
+               {"attention_mask": batch.get("attention_masks")}
+    if model_name == "meant_tweet_no_lag":
+        return (batch["tweets"],), {}
+    if model_name == "meantPrice":
+        return (batch["tweets"], batch["graphs"], batch["prices"]), {}
+    if model_name == "meant_tweet_price":
+        return (batch["tweets"], batch["prices"]), \
+               {"attention_mask": batch.get("attention_masks")}
+    raise ValueError(f"model {model_name} not supported")
+
+
+class meant_trainer:
+    """params: dict with the reference's keys (`in_loop_train.py:92-150`):
+    model, model_name, dataset, train_loader, val_loader, test_loader,
+    epochs, num_classes, lag, file_path, run_id, num_encoders,
+    optimizer/lr/decay/beta_1/beta_2/lr_scheduler/t0/tmax,
+    early_stopping, test_model, plus TPU extras: mesh, seed.
+    """
+
+    def __init__(self, p: Dict[str, Any]):
+        self.model = p["model"]
+        self.model_name = p["model_name"]
+        self.dataset = p.get("dataset", "Tempstock")
+        self.train_loader = p["train_loader"]
+        self.val_loader = p.get("val_loader")
+        self.test_loader = p.get("test_loader")
+        self.num_epochs = p.get("epochs", 1)
+        self.num_classes = p.get("num_classes", 2)
+        self.lag = p.get("lag", 5)
+        self.file_path = p.get("file_path", ".")
+        self.run_id = str(p.get("run_id", "0"))
+        self.num_encoders = p.get("num_encoders", 1)
+        self.early_stopping = p.get("early_stopping", False)
+        self.test_model = p.get("test_model", True)
+        self.track = p.get("track", False)
+        self.seed = p.get("seed", 0)
+        self.epoch_offset = p.get("epoch", 0)
+
+        self.mesh = p.get("mesh") or make_mesh()
+        self._opt_kwargs = dict(
+            optimizer=p.get("optimizer", "AdamW"),
+            learning_rate=p.get("lr", 5e-5),
+            decay=p.get("decay", 0.0),
+            beta_1=p.get("beta_1", 0.9), beta_2=p.get("beta_2", 0.999),
+            lr_scheduler=p.get("lrst", p.get("lr_scheduler", "cosine_warm")),
+            t0=p.get("t0", 7), tmax=p.get("tmax", 10),
+            steps_per_epoch=max(len(self.train_loader), 1),
+        )
+        self.state: Optional[TrainState] = None
+        self._jit_train = None
+        self._jit_eval = None
+        self.history = []
+
+    # ---- setup -----------------------------------------------------------
+    def _init_state(self, sample_batch):
+        args, kwargs = model_inputs(self.model_name, sample_batch)
+        rng = jax.random.PRNGKey(self.seed)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng},
+            *(jnp.asarray(a) for a in args),
+            **{k: (jnp.asarray(v) if v is not None else None)
+               for k, v in kwargs.items()})
+        params = variables["params"]
+        if "init_params" in self.__dict__ and self.init_params is not None:
+            params = self.init_params
+        tx = build_optimizer(params, **self._opt_kwargs)
+        state = TrainState.create(apply_fn=self.model.apply, params=params,
+                                  tx=tx)
+        self.state = jax.device_put(state, replicated(self.mesh))
+
+    def _build_steps(self):
+        model = self.model
+        model_name = self.model_name
+        num_classes = self.num_classes
+        seed = self.seed
+
+        def train_step(state, batch):
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+            labels = batch["y"]
+
+            def loss_fn(params):
+                args, kwargs = model_inputs(model_name, batch)
+                out = model.apply({"params": params}, *args, **kwargs,
+                                  deterministic=False,
+                                  rngs={"dropout": rng})
+                return sigmoid_ce_loss(out, labels), out
+
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            cm = confusion_delta(out, labels, num_classes)
+            return state, loss, cm
+
+        def eval_step(state, batch):
+            labels = batch["y"]
+            weight = batch["_weight"]
+            args, kwargs = model_inputs(model_name, batch)
+            out = model.apply({"params": state.params}, *args, **kwargs,
+                              deterministic=True)
+            loss = sigmoid_ce_loss(out, labels, weight)
+            # exclude padded rows from the confusion matrix
+            safe_labels = jnp.where(weight > 0, labels, num_classes)
+            preds = jnp.argmax(out, axis=-1)
+            idx = (safe_labels.astype(jnp.int32) * num_classes
+                   + preds.astype(jnp.int32))
+            cm = jnp.zeros(((num_classes + 1) * num_classes,), jnp.int32)
+            cm = cm.at[idx].add((weight > 0).astype(jnp.int32))
+            cm = cm.reshape(num_classes + 1, num_classes)[:num_classes]
+            return loss, cm, out
+
+        data_shard = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        self._jit_train = jax.jit(train_step, donate_argnums=(0,),
+                                  out_shardings=(rep, rep, rep))
+        self._jit_eval = jax.jit(eval_step, out_shardings=(rep, rep, rep))
+
+    def _device_batch(self, batch):
+        db = {}
+        for k, v in batch.items():
+            if k == "y":
+                db[k] = jnp.asarray(v).astype(jnp.int32)
+            elif k == "tweets":
+                db[k] = jnp.asarray(v).astype(jnp.int32)
+            else:
+                db[k] = jnp.asarray(v)
+        return shard_batch(db, self.mesh)
+
+    # ---- loops -----------------------------------------------------------
+    def train(self):
+        sample = next(iter(self.train_loader))
+        if self.state is None:
+            self._init_state(sample)
+        if self._jit_train is None:
+            self._build_steps()
+
+        prev_f1 = float("inf")
+        patience, lost_patience = 0, 5
+        final_epoch = 0
+        for ep in range(self.num_epochs):
+            final_epoch = ep
+            t0 = time.time()
+            train_metrics = F1Metrics(self.num_classes, "train")
+            losses = []
+            for batch in self.train_loader:
+                batch = self._device_batch(batch)
+                self.state, loss, cm = self._jit_train(self.state, batch)
+                train_metrics.update_cm(cm)
+                losses.append(loss)  # device array — no sync in the loop
+            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            if np.isnan(epoch_loss):
+                print("nans encountered. Current state of performance:")
+                train_metrics.show()
+                raise FloatingPointError("NaN loss")
+            print("length: ", str(time.time() - t0))
+            print("loss total: ", epoch_loss * max(len(losses), 1))
+            train_metrics.show()
+            record = {"epoch": ep, "train_loss": epoch_loss,
+                      **{f"train_{k}": v for k, v in
+                         train_metrics.compute().items()
+                         if not isinstance(v, list)}}
+
+            if self.val_loader is not None:
+                val_f1_macro, _, val_metrics = self.evaluate(
+                    self.val_loader, "validation")
+                record.update({f"val_{k}": v for k, v in val_metrics.items()
+                               if not isinstance(v, list)})
+                if self.early_stopping:
+                    if val_f1_macro <= prev_f1:
+                        patience += 1
+                        if patience == lost_patience:
+                            print("Stopped at epoch " + str(ep))
+                            self.history.append(record)
+                            break
+                    else:
+                        patience = 0
+                    prev_f1 = val_f1_macro
+            self.history.append(record)
+
+        self.save(final_epoch + 1)
+        results = {"history": self.history}
+        if self.test_model and self.test_loader is not None:
+            print("Testing...")
+            test_f1_macro, _, test_metrics = self.evaluate(self.test_loader,
+                                                           "test")
+            results["test"] = test_metrics
+        return results
+
+    def evaluate(self, loader, set_name: str):
+        if self.state is None:
+            self._init_state(next(iter(loader)))
+        if self._jit_eval is None:
+            self._build_steps()
+        metrics = F1Metrics(self.num_classes, set_name)
+        for batch in loader:
+            batch = self._device_batch(batch)
+            loss, cm, out = self._jit_eval(self.state, batch)
+            metrics.update_cm(cm)
+            if self.num_classes == 2:
+                w = np.asarray(batch["_weight"]) > 0
+                metrics._scores.append(np.asarray(out)[w])
+                metrics._labels.append(np.asarray(batch["y"])[w])
+        f1_macro, f1_micro = metrics.show()
+        return f1_macro, f1_micro, metrics.compute()
+
+    # ---- persistence ------------------------------------------------------
+    def save(self, epoch: int):
+        name = ckpt.checkpoint_name(self.model_name, self.num_encoders,
+                                    self.dataset, self.run_id, epoch)
+        path = os.path.join(self.file_path, "models", self.model_name, name)
+        try:
+            ckpt.save(path, {"params": self.state.params,
+                             "step": int(self.state.step)})
+        except Exception as e:  # mirrors reference's save-failure tolerance
+            print(f"Your filepath is invalid. Save has failed: {e}")
+
+    def load_params(self, path: str):
+        restored = ckpt.restore(path)
+        self.init_params = restored["params"]
