@@ -1,0 +1,205 @@
+"""Pallas TPU flash-attention kernel with the xPos/rotary rotation fused into
+the Q/K load.
+
+Replaces the reference's Dao flash_attn call sites
+(`meant/xPosAttention_flash.py:41`, `meant/flash_attention.py:42`).
+
+Design notes (MEANT workloads: s in {128, 196/197, 512}, head dim 96):
+  * K and V for one (batch, head) fit comfortably in VMEM at these sequence
+    lengths, so the kernel keeps the whole K/V row resident and computes each
+    q-block's softmax in ONE pass (no online rescaling needed) — the flash
+    property that matters (no (s, s) score matrix in HBM) is preserved, and
+    the single-pass softmax is strictly cheaper than the streaming variant.
+    A ring/blockwise-K variant can be layered on later for long sequences.
+  * The rotary rotation is folded into four precomputed fp32 tables
+    (qcos/qsin/kcos/ksin, each (s, d)): xPos q-scale/k-scale are multiplied
+    in, pass-through dims get cos=1/sin=0. In-kernel:
+        rot(x) = x * cos + rotate_half(x) * sin
+    rotate_half (interleaved pairs) is computed with two lane-rolls and a
+    parity select — no reshapes, fully vectorized on the VPU.
+  * Scores accumulate in fp32 on the MXU (preferred_element_type); softmax in
+    fp32; the P @ V matmul accumulates fp32 and casts to the input dtype.
+  * Causal masking uses block-row offsets; the additive key padding mask
+    follows the reference's (1 - mask) * -1e9 convention
+    (`meant/xPosAttention.py:54-56`).
+
+Backward: custom VJP that recomputes attention with plain XLA ops (cheap at
+these sequence lengths, keeps grads bit-consistent with the reference math).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meant_tpu.ops.attention import attend
+
+DEFAULT_BLOCK_Q = 128
+
+
+def _rotate_half_lanes(x):
+    """Interleaved-pair rotate_half on the last (lane) axis without reshape:
+    out[2i] = -x[2i+1]; out[2i+1] = x[2i]."""
+    n = x.shape[-1]
+    ax = x.ndim - 1
+    left = pltpu.roll(x, n - 1, axis=ax)   # out[j] = x[(j+1) % n]
+    right = pltpu.roll(x, 1, axis=ax)      # out[j] = x[(j-1) % n]
+    parity = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % 2
+    return jnp.where(parity == 0, -left, right)
+
+
+def _fwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
+                q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                block_q: int, use_mask: bool):
+    j = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)            # (block_q, d)
+    k = k_ref[0].astype(jnp.float32)            # (s_k, d)
+    v = v_ref[0]                                 # (s_k, d)
+
+    q = q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]
+    k = k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (block_q, s_k)
+
+    s_k = scores.shape[-1]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
+            + j * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col <= row, scores, -jnp.inf)
+    if use_mask:
+        kmask = kmask_ref[0]                      # (s_k,)
+        scores = scores + (1.0 - kmask) * -1e9
+
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jax.lax.dot_general(
+        weights, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _flash_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
+               num_heads, block_q, interpret):
+    """q/k/v: (BH, s, d) with BH = batch * heads; kmask: (batch, s) or None;
+    tables: (s, d) fp32."""
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    use_mask = kmask is not None
+    block_q = min(block_q, s_q)
+    grid = (bh, pl.cdiv(s_q, block_q))
+    if kmask is None:
+        kmask = jnp.ones((1, s_k), jnp.float32)
+        kmask_index = lambda i, j: (0, 0)
+    else:
+        kmask_index = lambda i, j, h=num_heads: (i // h, 0)
+
+    kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                               block_q=block_q, use_mask=use_mask)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),            # qcos
+            pl.BlockSpec((block_q, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),            # qsin
+            pl.BlockSpec((s_k, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),            # kcos
+            pl.BlockSpec((s_k, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),            # ksin
+            pl.BlockSpec((1, s_k), kmask_index,
+                         memory_space=pltpu.VMEM),            # kmask
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),            # q
+            pl.BlockSpec((1, s_k, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # k
+            pl.BlockSpec((1, s_k, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # v
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        interpret=interpret,
+    )(qcos, qsin, kcos, ksin, kmask, q, k, v)
+
+
+def _xla_reference(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
+                   num_heads):
+    """Identical math in plain XLA (used for the VJP and as CPU fallback).
+    q/k/v: (b, h, s, d)."""
+    from meant_tpu.ops.rotary import rotate_half
+
+    def rot(t, cos, sin):
+        tf = t.astype(jnp.float32)
+        return tf * cos + rotate_half(tf) * sin
+
+    qr = rot(q, qcos, qsin).astype(q.dtype)
+    kr = rot(k, kcos, ksin).astype(k.dtype)
+    return attend(qr, kr, v, scale=scale, causal=causal,
+                  attention_mask=kmask)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_flash(scale: float, causal: bool, num_heads: int, block_q: int,
+                interpret: bool):
+    @jax.custom_vjp
+    def f(q, k, v, kmask, qcos, qsin, kcos, ksin):
+        b, h, s_q, d = q.shape
+        out = _flash_fwd(q.reshape(b * h, s_q, d),
+                         k.reshape(b * h, k.shape[2], d),
+                         v.reshape(b * h, v.shape[2], d),
+                         kmask, qcos, qsin, kcos, ksin, scale=scale,
+                         causal=causal, num_heads=num_heads, block_q=block_q,
+                         interpret=interpret)
+        return out.reshape(b, h, s_q, d)
+
+    def fwd(q, k, v, kmask, qcos, qsin, kcos, ksin):
+        return f(q, k, v, kmask, qcos, qsin, kcos, ksin), \
+            (q, k, v, kmask, qcos, qsin, kcos, ksin)
+
+    def bwd(res, g):
+        q, k, v, kmask, qcos, qsin, kcos, ksin = res
+        ref = functools.partial(_xla_reference, scale=scale, causal=causal,
+                                num_heads=num_heads)
+        _, vjp = jax.vjp(lambda q_, k_, v_: ref(q_, k_, v_, kmask, qcos,
+                                                qsin, kcos, ksin), q, k, v)
+        dq, dk, dv = vjp(g)
+        zeros = lambda t: None if t is None else jnp.zeros_like(t)
+        return (dq, dk, dv, zeros(kmask), jnp.zeros_like(qcos),
+                jnp.zeros_like(qsin), jnp.zeros_like(kcos),
+                jnp.zeros_like(ksin))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def flash_mha(q, k, v, *, scale: float, causal: bool = False,
+              attention_mask: Optional[jnp.ndarray] = None,
+              qcos=None, qsin=None, kcos=None, ksin=None,
+              block_q: int = DEFAULT_BLOCK_Q,
+              interpret: Optional[bool] = None):
+    """Fused rotary + attention. q/k/v: (b, h, s, d). The four tables are
+    (s, d) fp32 (identity rotation when None)."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    if qcos is None:
+        qcos = jnp.ones((s_q, d), jnp.float32)
+        qsin = jnp.zeros((s_q, d), jnp.float32)
+    if kcos is None:
+        kcos = jnp.ones((s_k, d), jnp.float32)
+        ksin = jnp.zeros((s_k, d), jnp.float32)
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    kmask = None
+    if attention_mask is not None:
+        kmask = attention_mask.astype(jnp.float32)
+    fn = _make_flash(float(scale), bool(causal), h, int(block_q),
+                     bool(interpret))
+    return fn(q, k, v, kmask, qcos, qsin, kcos, ksin)

@@ -1,0 +1,111 @@
+"""Pallas flash-attention kernel vs the XLA reference path (interpret mode on
+CPU; the same kernel compiles on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meant_tpu import ops
+from meant_tpu.ops.flash import flash_attention
+
+
+def make_qkv(b=2, h=4, s=128, d=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return tuple(jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * 0.5)
+                 for _ in range(3))
+
+
+class TestFlashKernel:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_plain_attention(self, causal):
+        q, k, v = make_qkv()
+        scale = 1.0 / np.sqrt(64)
+        out_f = flash_attention(q, k, v, scale=scale, causal=causal)
+        out_r = ops.attend(q, k, v, scale=scale, causal=causal)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_non_multiple_block(self):
+        # 196 patch tokens (vision) — not a multiple of the 128 q-block.
+        q, k, v = make_qkv(s=196)
+        scale = 1.0 / np.sqrt(64)
+        out_f = flash_attention(q, k, v, scale=scale)
+        out_r = ops.attend(q, k, v, scale=scale)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_padding_mask(self):
+        q, k, v = make_qkv(b=2, s=64)
+        mask = np.ones((2, 64), np.float32)
+        mask[0, 40:] = 0
+        mask[1, 10:] = 0
+        scale = 0.125
+        out_f = flash_attention(q, k, v, scale=scale, causal=True,
+                                attention_mask=jnp.asarray(mask))
+        out_r = ops.attend(q, k, v, scale=scale, causal=True,
+                           attention_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fused_xpos_rotation(self):
+        b, h, s, d = 2, 8, 128, 96
+        rng = np.random.RandomState(3)
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * 0.5)
+                   for _ in range(3))
+        freqs = ops.lang_freqs(48)
+        scale = 1.0 / np.sqrt(d * h)
+        out_f = flash_attention(q, k, v, scale=scale, causal=True,
+                                rope_freqs=freqs, xpos=True)
+        qr, kr = ops.rotate_queries_and_keys(q, k, freqs, rot_dim=48)
+        out_r = ops.attend(qr, kr, v, scale=scale, causal=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fused_pixel_rotation(self):
+        b, h, s, d = 2, 8, 196, 96
+        rng = np.random.RandomState(4)
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * 0.5)
+                   for _ in range(3))
+        freqs = ops.pixel_freqs(48)
+        scale = 1.0 / np.sqrt(d)
+        out_f = flash_attention(q, k, v, scale=scale, rope_freqs=freqs)
+        qr = ops.rotate_queries_or_keys(q, freqs)
+        kr = ops.rotate_queries_or_keys(k, freqs)
+        out_r = ops.attend(qr, kr, v, scale=scale)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match_xla(self):
+        b, h, s, d = 2, 4, 64, 32
+        rng = np.random.RandomState(5)
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * 0.5)
+                   for _ in range(3))
+        freqs = ops.lang_freqs(32)
+        scale = 1.0 / np.sqrt(d * h)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, scale=scale, causal=True,
+                                           rope_freqs=freqs, xpos=True) ** 2)
+
+        def loss_ref(q, k, v):
+            qr, kr = ops.rotate_queries_and_keys(q, k, freqs, rot_dim=32)
+            return jnp.sum(ops.attend(qr, kr, v, scale=scale,
+                                      causal=True) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_bf16_inputs(self):
+        q, k, v = make_qkv(s=64)
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        out = flash_attention(q, k, v, scale=0.125)
+        assert out.dtype == jnp.bfloat16
+        ref = ops.attend(q, k, v, scale=0.125)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
