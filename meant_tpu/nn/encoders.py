@@ -117,48 +117,54 @@ class VisionEncoder(nn.Module):
         return inter + x1
 
 
-class TemporalEncoder(nn.Module):
-    """temporalEncoder around the antecedent-lag attention.
+_TEMPORAL_STYLES = {
+    # style: (norm_kind, use_temp_embedding, attn_variant, init_style)
+    # paper (`meant/meant.py:124-145`): positional param + RMSNorm sandwich.
+    "paper": ("rms", True, "paper", "torch"),
+    # slim (`meant/meant_tweet.py:95-112`, `meant_vision.py:81-106`):
+    # positional param + [Linear, temporal, Linear] (norms commented out).
+    "slim": (None, True, "paper", "torch"),
+    # src (`src/meant/meant.py:153-199`): no positional param, LayerNorms,
+    # xavier init, src temporal (flat (b, dim) output).
+    "src": ("layer", False, "src", "xavier"),
+    # meantTweetPrice (`src/meant/meant_tweet_price.py:113-136`): positional
+    # param + RMSNorm sandwich + Dropout before proj_out, src temporal.
+    "tweet_price": ("rms", True, "src", "torch"),
+}
 
-    style='paper'      (`meant/meant.py:124-145`): learned positional param
-                       (1, lag, dim) added per batch, then
-                       [RMSNorm, Linear, temporal, RMSNorm, Linear].
-    style='slim'       (`meant/meant_tweet.py:95-112`, `meant_vision.py:81-106`):
-                       positional param + [Linear, temporal, Linear] (norms
-                       commented out in the reference).
-    style='src'        (`src/meant/meant.py:153-199`): NO positional param,
-                       [LayerNorm, Linear, temporal(src), LayerNorm, Linear],
-                       xavier init; temporal output is flat (b, dim).
-    """
+
+class TemporalEncoder(nn.Module):
+    """temporalEncoder around the antecedent-lag attention; per-generation
+    wiring in _TEMPORAL_STYLES."""
     dim: int
     num_heads: int
     lag: int
     style: str = "paper"
+    dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         d = self.dim
-        if self.style in ("paper", "slim"):
+        norm_kind, use_embed, variant, init_style = \
+            _TEMPORAL_STYLES[self.style]
+        if use_embed:
             temp_embedding = self.param(
                 "temp_embedding", nn.initializers.normal(1.0),
                 (1, self.lag, d))
             x = x + temp_embedding
-        if self.style == "paper":
-            x = make_norm("rms", d, "norm1")(x)
-        elif self.style == "src":
-            x = make_norm("layer", d, "norm1")(x)
-        init_style = "xavier" if self.style == "src" else "torch"
+        if norm_kind:
+            x = make_norm(norm_kind, d, "norm1")(x)
         x = Linear(d, d, init_style=init_style, dtype=self.dtype,
                    name="proj_in")(x)
-        variant = "src" if self.style == "src" else "paper"
         x = TemporalAttention(self.num_heads, d, variant=variant,
                               init_style=init_style, dtype=self.dtype,
                               name="temporal")(x)
-        if self.style == "paper":
-            x = make_norm("rms", d, "norm2")(x)
-        elif self.style == "src":
-            x = make_norm("layer", d, "norm2")(x)
+        if norm_kind:
+            x = make_norm(norm_kind, d, "norm2")(x)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, name="drop")(
+                x, deterministic=deterministic)
         x = Linear(d, d, init_style=init_style, dtype=self.dtype,
                    name="proj_out")(x)
         return x

@@ -57,12 +57,18 @@ def _fwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
                 q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
                 block_q: int, use_mask: bool):
     j = pl.program_id(1)
+    in_dtype = q_ref.dtype
     q = q_ref[0].astype(jnp.float32)            # (block_q, d)
     k = k_ref[0].astype(jnp.float32)            # (s_k, d)
     v = v_ref[0]                                 # (s_k, d)
 
-    q = q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]
-    k = k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]
+    # Rotate in fp32, then cast back to the input dtype so the MXU runs
+    # bf16 x bf16 -> fp32 (matches the XLA path, where apply_rotary returns
+    # t.dtype before the fp32-accumulating einsum).
+    q = (q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]) \
+        .astype(in_dtype)
+    k = (k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]) \
+        .astype(in_dtype)
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -78,9 +84,9 @@ def _fwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
         kmask = kmask_ref[0]                      # (s_k,)
         scores = scores + (1.0 - kmask) * -1e9
 
-    weights = jax.nn.softmax(scores, axis=-1)
+    weights = jax.nn.softmax(scores, axis=-1).astype(in_dtype)
     out = jax.lax.dot_general(
-        weights, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        weights, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
