@@ -1,0 +1,114 @@
+"""Pretraining wrappers (working copies live at `pretrain_mlm.py:74-88` and
+`pretrain_mim.py:77-99` in the reference; the `meant/hf_wrapper.py:111-149`
+duplicates are broken — SURVEY.md §2.6.7).
+
+meant_language_pretrainer: embeddings -> N languageEncoders -> RoBERTa-style
+LM head (dense -> gelu -> LayerNorm -> vocab decoder) for MLM with CE over
+the vocabulary (`pretrain_mlm.py:182`).
+
+meant_vision_pretrainer: patchEmbed -> visionEncoders -> reshape tokens to a
+(b, dim, √n, √n) feature map -> ViT-MIM-style decoder (1x1 conv to
+patch²*3 + pixel shuffle) reconstructing RGB; L1 loss on the first 3 channels
+(`pretrain_mim.py:162,204`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from meant_tpu import ops
+from meant_tpu.models.meant import EmbeddingConfig, _embedding
+from meant_tpu.nn.encoders import LanguageEncoder, VisionEncoder
+from meant_tpu.nn.layers import Linear, gelu, make_norm
+
+
+class RobertaLMHead(nn.Module):
+    """dense -> gelu -> LayerNorm -> decoder(vocab) (HF RobertaLMHead)."""
+    hidden_size: int
+    vocab_size: int
+    layer_norm_eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Linear(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                   name="dense")(x)
+        x = gelu(x)
+        x = make_norm("layer", self.hidden_size, "norm")(x)
+        return Linear(self.vocab_size, self.hidden_size, dtype=self.dtype,
+                      name="decoder")(x)
+
+
+class meant_language_pretrainer(nn.Module):
+    """`pretrain_mlm.py:74-88`. forward(words (b, s), attention_mask) ->
+    (b, s, vocab) logits."""
+    num_encoders: int
+    embedding: EmbeddingConfig = EmbeddingConfig()
+    flash: bool = False
+    lag: int = 5
+    text_dim: int = 768
+    num_heads: int = 8
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, words, attention_mask=None,
+                 deterministic: bool = True):
+        x = _embedding(self.embedding, self.dtype)(
+            words, deterministic=deterministic)
+        for i in range(self.num_encoders):
+            x = LanguageEncoder(
+                self.text_dim, self.num_heads, flash=self.flash,
+                dtype=self.dtype, name=f"languageEncoders_{i}")(
+                    x, attention_mask, deterministic=deterministic)
+        return RobertaLMHead(self.text_dim, self.embedding.vocab_size,
+                             name="mlm_head")(x)
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(b, C*r², h, w) -> (b, C, h*r, w*r), torch PixelShuffle semantics."""
+    b, crr, h, w = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, c, r, r, h, w)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b c h r w r
+    return x.reshape(b, c, h * r, w * r)
+
+
+class meant_vision_pretrainer(nn.Module):
+    """`pretrain_mim.py:77-99` with the ViT-MIM decoder the harness passes in
+    (`pretrain_mim.py:339`): 1x1 conv hidden -> patch²*3, PixelShuffle.
+    forward(images (b, c, H, W)) -> (b, 3, H, W) reconstruction."""
+    num_encoders: int
+    patch_res: int = 16
+    channels: int = 4
+    height: int = 224
+    width: int = 224
+    image_dim: int = 768
+    num_heads: int = 8
+    flash: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        x = ops.patchify(images, self.patch_res)
+        patch_dim = self.channels * self.patch_res ** 2
+        x = Linear(self.image_dim, patch_dim, dtype=self.dtype,
+                   name="patchEmbed")(x)
+        for i in range(self.num_encoders):
+            x = VisionEncoder(
+                self.image_dim, self.num_heads, flash=self.flash,
+                dtype=self.dtype, name=f"visionEncoders_{i}")(
+                    x, deterministic=deterministic)
+        b, n, d = x.shape
+        hw = math.floor(n ** 0.5)
+        fmap = x.transpose(0, 2, 1).reshape(b, d, hw, hw)
+        # decoder: 1x1 conv == per-position Linear d -> r²*3
+        r = self.patch_res
+        dec = Linear(r * r * 3, d, dtype=self.dtype, name="decoder")(
+            fmap.transpose(0, 2, 3, 1))           # (b, hw, hw, r²*3)
+        dec = dec.transpose(0, 3, 1, 2)            # (b, r²*3, hw, hw)
+        return pixel_shuffle(dec, r)

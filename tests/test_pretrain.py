@@ -1,0 +1,110 @@
+"""MLM / MIM pretraining: masking semantics + end-to-end loss decrease."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from meant_tpu.data import ArrayLoader
+from meant_tpu.data.masking import (IGNORE_INDEX, mask_image, mask_tokens,
+                                    shift_labels_clm)
+from meant_tpu.models.meant import EmbeddingConfig
+from meant_tpu.models.pretrainers import (meant_language_pretrainer,
+                                          meant_vision_pretrainer,
+                                          pixel_shuffle)
+from meant_tpu.train.pretrain import (mim_l1_loss, mim_pretrainer, mlm_loss,
+                                      mlm_pretrainer)
+
+TINY_EMB = EmbeddingConfig(vocab_size=64, hidden_size=32,
+                           max_position_embeddings=40, dropout=0.0)
+
+
+class TestMasking:
+    def test_mask_tokens(self):
+        ids = np.random.RandomState(0).randint(4, 60, size=(8, 16))
+        ids[:, 0] = 0  # special
+        inputs, labels = mask_tokens(ids, mask_token_id=63,
+                                     special_ids=[0, 1, 2], seed=1)
+        masked = inputs == 63
+        assert masked.any()
+        assert not masked[:, 0].any()  # special tokens protected
+        # labels carry original ids at masked positions, -100 elsewhere
+        assert (labels[masked] == ids[masked]).all()
+        assert (labels[~masked] == IGNORE_INDEX).all()
+
+    def test_clm_shift(self):
+        ids = np.arange(12).reshape(2, 6)
+        labels = shift_labels_clm(ids)
+        assert (labels[:, :-1] == ids[:, 1:]).all()
+        assert (labels[:, -1] == IGNORE_INDEX).all()
+
+    def test_mask_image(self):
+        img = np.random.RandomState(0).rand(2, 4, 8, 8).astype(np.float32)
+        inputs, labels = mask_image(img, mask_probability=0.3, seed=2)
+        masked = inputs != img
+        assert masked.any()
+        assert (labels[~masked] == IGNORE_INDEX).all()
+        assert np.allclose(labels[masked], img[masked])
+
+
+class TestPixelShuffle:
+    def test_matches_torch(self):
+        import torch
+        x = np.random.RandomState(0).randn(2, 3 * 4, 2, 2).astype(np.float32)
+        out_j = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+        out_t = torch.pixel_shuffle(torch.tensor(x), 2).numpy()
+        np.testing.assert_allclose(out_j, out_t)
+
+
+class TestLosses:
+    def test_mlm_loss_vs_torch(self):
+        import torch
+        rng = np.random.RandomState(0)
+        logits = rng.randn(4, 6, 10).astype(np.float32)
+        labels = rng.randint(0, 10, size=(4, 6))
+        labels[:, ::2] = IGNORE_INDEX
+        lj = float(mlm_loss(jnp.asarray(logits), jnp.asarray(labels)))
+        lt = float(torch.nn.functional.cross_entropy(
+            torch.tensor(logits).view(-1, 10), torch.tensor(labels).view(-1),
+            ignore_index=IGNORE_INDEX))
+        assert abs(lj - lt) < 1e-5
+
+
+class TestEndToEnd:
+    def test_mlm_pretraining_loss_decreases(self, tmp_path):
+        rng = np.random.RandomState(0)
+        n, s = 64, 16
+        ids = rng.randint(4, 60, size=(n, s)).astype(np.int32)
+        inputs, labels = mask_tokens(ids, mask_token_id=63,
+                                     special_ids=[0, 1, 2], seed=1)
+        data = {"input_ids": inputs.astype(np.int32),
+                "labels": labels.astype(np.int32),
+                "attention_mask": np.ones((n, s), np.float32)}
+        model = meant_language_pretrainer(num_encoders=1, embedding=TINY_EMB,
+                                          text_dim=32, num_heads=4)
+        tr = mlm_pretrainer({
+            "model": model, "model_name": "meant_language_pretrainer",
+            "train_data": ArrayLoader(data, 16),
+            "val_data": ArrayLoader(data, 16),
+            "epochs": 3, "lr": 1e-3, "lrst": "constant",
+            "file_path": str(tmp_path), "run_id": "7"})
+        hist = tr.train()
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+    def test_mim_pretraining_runs(self, tmp_path):
+        rng = np.random.RandomState(0)
+        n = 16
+        imgs = rng.rand(n, 4, 32, 32).astype(np.float32)
+        inputs, labels = mask_image(imgs, seed=3)
+        data = {"input_ids": inputs, "labels": labels}
+        model = meant_vision_pretrainer(num_encoders=1, patch_res=16,
+                                        channels=4, height=32, width=32,
+                                        image_dim=32, num_heads=4)
+        tr = mim_pretrainer({
+            "model": model, "model_name": "meant_vision_pretrainer",
+            "train_data": ArrayLoader(data, 8),
+            "epochs": 2, "lr": 1e-3, "lrst": "constant",
+            "file_path": str(tmp_path), "run_id": "8"})
+        hist = tr.train()
+        assert np.isfinite(hist[-1]["train_loss"])
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
