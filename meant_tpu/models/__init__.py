@@ -5,10 +5,14 @@ from .meant import (EmbeddingConfig, MlpHead, meant, meantPrice, meant_tweet,
                     meant_tweet_no_lag, meant_vision, meant_vqa)
 from .meant_src import (LSTMEncoder, meantTweetPrice, meant_price, meant_src,
                         mlpEncoder)
+from .meant_timesformer import (meant_mean_pooling, meant_mosi,
+                                meant_timesformer)
+from .pretrainers import meant_language_pretrainer, meant_vision_pretrainer
 
 __all__ = [
     "EmbeddingConfig", "MlpHead", "meant", "meantPrice", "meant_tweet",
     "meant_tweet_no_lag", "meant_vision", "meant_vqa",
     "LSTMEncoder", "meantTweetPrice", "meant_price", "meant_src",
-    "mlpEncoder",
+    "mlpEncoder", "meant_mean_pooling", "meant_mosi", "meant_timesformer",
+    "meant_language_pretrainer", "meant_vision_pretrainer",
 ]
