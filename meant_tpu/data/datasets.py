@@ -1,0 +1,156 @@
+"""Dataset assembly: TempStock-small `.npy` loading, deterministic splits,
+lag-window CSV datasets (TempStockLarge / Stocknet / djiaNews), synthetic
+generators for tests/benchmarks.
+
+Reference behavior preserved:
+  * TempStock small (`in_loop_train.py:579-681`): graphs/tweets/attention
+    masks/macds/labels loaded from `.npy`, optional global-mean normalize,
+    60/20/20 split via two sklearn train_test_split(random_state=42) calls.
+  * TempStockLarge CSVs (`src/utils/custom_datasets.py:440-560`): text
+    columns text_0..text_{lag-1}, price columns
+    {EMA12,EMA26,Signal_Line,MACD_Histogram,MACD}_i per lag day, labels, and
+    `.npy` graph tensors; tokenization happens OFFLINE here (fixed shapes for
+    TPU) instead of per-item in __getitem__ (the reference's CPU hot spot,
+    SURVEY.md §3).
+  * Stocknet (`src/utils/custom_datasets.py:398-437`): per-day text columns +
+    3 price features.
+  * djiaNews (`src/utils/custom_datasets.py:353-396`): Top1..Top25 headlines
+    joined per day x 5 shifted day-columns.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+TEMPSTOCK_PRICE_COLS = ("EMA12", "EMA26", "Signal_Line", "MACD_Histogram",
+                        "MACD")
+
+
+def train_val_test_split(n: int, seed: int = 42,
+                         train_frac: float = 0.6) -> Tuple[np.ndarray, ...]:
+    """Two-stage split like `train_test_split(random_state=42)` twice
+    (`in_loop_train.py:607-621`): 60% train, then the remainder halved into
+    val/test — deterministic shuffled index split."""
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(n)
+    n_train = int(n * train_frac)
+    rest = idx[n_train:]
+    n_val = len(rest) // 2
+    return idx[:n_train], rest[:n_val], rest[n_val:]
+
+
+def load_tempstock_small(dir_path: str, lag_suffix: str = "_5",
+                         normalize: bool = False) -> Dict[str, np.ndarray]:
+    """Load the SMOTE-resampled TempStock-small arrays
+    (`graphs{lag}.npy, tweets{lag}.npy, attention_masks{lag}.npy,
+    macds{lag}.npy, y_resampled{lag}.npy`, `in_loop_train.py:589-593`)."""
+    def L(name):
+        return np.load(os.path.join(dir_path, f"{name}{lag_suffix}.npy"))
+
+    graphs = L("graphs")
+    if normalize:
+        graphs = graphs - graphs.mean()
+    return {"graphs": graphs, "tweets": L("tweets"),
+            "attention_masks": L("attention_masks"), "macds": L("macds"),
+            "y": L("y_resampled")}
+
+
+def split_arrays(arrays: Dict[str, np.ndarray], seed: int = 42):
+    n = len(next(iter(arrays.values())))
+    tr, va, te = train_val_test_split(n, seed)
+    pick = lambda sel: {k: v[sel] for k, v in arrays.items()}
+    return pick(tr), pick(va), pick(te)
+
+
+def tempstock_large_from_frame(df, graphs: np.ndarray, tokenize, lag: int = 5,
+                               max_len: int = 512, pad_id: int = 1):
+    """Build fixed-shape arrays from a TempStockLarge-layout DataFrame:
+    text_0..text_{lag-1} columns + per-day price features + `label`.
+    `tokenize(text) -> list[int]` is supplied by the harness (HF tokenizer
+    when available, whitespace-hash fallback otherwise)."""
+    n = len(df)
+    input_ids = np.full((n, lag, max_len), pad_id, np.int32)
+    attention_mask = np.zeros((n, lag, max_len), np.float32)
+    prices = np.zeros((n, lag, len(TEMPSTOCK_PRICE_COLS)), np.float32)
+    for i, (_, row) in enumerate(df.iterrows()):
+        for day in range(lag):
+            ids = tokenize(str(row[f"text_{day}"]))[:max_len]
+            input_ids[i, day, :len(ids)] = ids
+            attention_mask[i, day, :len(ids)] = 1.0
+            for j, col in enumerate(TEMPSTOCK_PRICE_COLS):
+                prices[i, day, j] = row[f"{col}_{day}"]
+    labels = df["label"].to_numpy().astype(np.int32)
+    return {"input_ids": input_ids, "attention_mask": attention_mask,
+            "prices": prices, "pixels": graphs.astype(np.float32),
+            "y": labels}
+
+
+def stocknet_from_frame(df, tokenize, lag: int = 5, max_len: int = 128,
+                        pad_id: int = 1, price_cols=("high", "low", "close")):
+    """Stocknet layout (`src/utils/custom_datasets.py:398-437`)."""
+    n = len(df)
+    input_ids = np.full((n, lag, max_len), pad_id, np.int32)
+    attention_mask = np.zeros((n, lag, max_len), np.float32)
+    prices = np.zeros((n, lag, len(price_cols)), np.float32)
+    for i, (_, row) in enumerate(df.iterrows()):
+        for day in range(lag):
+            ids = tokenize(str(row[f"text_{day}"]))[:max_len]
+            input_ids[i, day, :len(ids)] = ids
+            attention_mask[i, day, :len(ids)] = 1.0
+            for j, col in enumerate(price_cols):
+                key = f"{col}_{day}"
+                if key in row:
+                    prices[i, day, j] = row[key]
+    labels = df["label"].to_numpy().astype(np.int32)
+    return {"tweets": input_ids, "attention_masks": attention_mask,
+            "prices": prices, "y": labels}
+
+
+def djia_from_frame(df, tokenize, lag: int = 5, max_len: int = 512,
+                    pad_id: int = 1):
+    """djiaNews layout (`src/utils/custom_datasets.py:353-396`): 25 headline
+    columns per shifted day, joined with spaces."""
+    n = len(df)
+    input_ids = np.full((n, lag, max_len), pad_id, np.int32)
+    attention_mask = np.zeros((n, lag, max_len), np.float32)
+    for i, (_, row) in enumerate(df.iterrows()):
+        for day in range(lag):
+            tops = [str(row.get(f"Top{k}_{day}", "")) for k in range(1, 26)]
+            ids = tokenize(" ".join(tops))[:max_len]
+            input_ids[i, day, :len(ids)] = ids
+            attention_mask[i, day, :len(ids)] = 1.0
+    labels = df["label"].to_numpy().astype(np.int32)
+    return {"tweets": input_ids, "attention_masks": attention_mask,
+            "y": labels}
+
+
+def hash_tokenize(vocab_size: int = 64000, max_len: int = 128):
+    """Deterministic whitespace-hash tokenizer — the no-network fallback for
+    smoke runs; real runs pass an HF tokenizer's encode."""
+    def tok(text: str):
+        ids = [2] + [3 + (hash(w) % (vocab_size - 4))
+                     for w in text.split()][: max_len - 2] + [2]
+        return ids
+
+    return tok
+
+
+def synthetic_tempstock(n: int = 64, lag: int = 5, seq: int = 128,
+                        channels: int = 4, size: int = 224,
+                        vocab: int = 64000, seed: int = 0,
+                        learnable: bool = True) -> Dict[str, np.ndarray]:
+    """TempStock-shaped synthetic data (tests / bench)."""
+    rng = np.random.RandomState(seed)
+    tweets = rng.randint(4, vocab, size=(n, lag, seq)).astype(np.int32)
+    graphs = rng.randn(n, lag, channels, size, size).astype(np.float32)
+    macds = rng.randn(n, lag, 4).astype(np.float32)
+    y = rng.randint(0, 2, size=(n,)).astype(np.int32)
+    if learnable:
+        tweets[y == 1, -1, 0] = 3
+        tweets[y == 0, -1, 0] = 5
+    masks = np.ones((n, lag, seq), np.float32)
+    return {"graphs": graphs, "tweets": tweets, "attention_masks": masks,
+            "macds": macds, "y": y}

@@ -1,0 +1,155 @@
+"""Data-engineering tests: MACD/RSI math vs pandas, SMOTE, VQA utilities,
+splits and dataset builders."""
+
+import numpy as np
+import pandas as pd
+
+from meant_tpu.data import (crossover_labels, ema, hash_tokenize, lag_windows,
+                            macd_signal, rsi, smote, smote_lag_windows,
+                            split_arrays, stocknet_from_frame,
+                            synthetic_tempstock, tempstock_large_from_frame,
+                            train_val_test_split)
+from meant_tpu.data.macd import tempstock_price_features
+from meant_tpu.data.vqa import (build_label2id, center_pad_images, get_score,
+                                pad_text, soft_targets, vqa_collate)
+
+
+class TestMACD:
+    def test_ema_matches_pandas(self):
+        x = np.random.RandomState(0).rand(100) * 50 + 100
+        mine = ema(x, 12)
+        ref = pd.Series(x).ewm(span=12, adjust=False).mean().to_numpy()
+        np.testing.assert_allclose(mine, ref, rtol=1e-12)
+
+    def test_macd_components(self):
+        x = np.random.RandomState(1).rand(200) * 50 + 100
+        macd, sig, hist = macd_signal(x)
+        ref_macd = (pd.Series(x).ewm(span=12, adjust=False).mean()
+                    - pd.Series(x).ewm(span=26, adjust=False).mean())
+        np.testing.assert_allclose(macd, ref_macd.to_numpy(), rtol=1e-10)
+        np.testing.assert_allclose(hist, macd - sig, rtol=1e-12)
+
+    def test_rsi_bounds_and_wilder(self):
+        x = np.cumsum(np.random.RandomState(2).randn(300)) + 100
+        r = rsi(x)
+        assert ((r >= 0) & (r <= 100)).all()
+        # monotone rally -> RSI ~ 100
+        up = np.arange(100, 200, dtype=float)
+        assert rsi(up)[-1] > 99.0
+
+    def test_crossover_label_rule(self):
+        # construct macd crossing signal upward into positive territory
+        macd = np.array([0.0] * 27 + [-1.0, 0.5])
+        sig = np.array([0.0] * 27 + [0.0, 0.0])
+        feats, labels = crossover_labels(macd, sig, start=28)
+        assert labels.shape == (1, 2)
+        assert labels[0, 1] == 1  # buy
+        # same cross but macd stays negative -> no buy
+        macd2 = np.array([0.0] * 27 + [-1.0, -0.1])
+        sig2 = np.array([0.0] * 27 + [-0.5, -0.2])
+        _, labels2 = crossover_labels(macd2, sig2, start=28)
+        assert labels2[0, 0] == 1
+
+    def test_tempstock_price_features_shape(self):
+        x = np.random.RandomState(3).rand(60) + 100
+        f = tempstock_price_features(x)
+        assert f.shape == (60, 5)
+        # MACD column == EMA12 - EMA26
+        np.testing.assert_allclose(f[:, 4], f[:, 0] - f[:, 1], atol=1e-4)
+
+    def test_lag_windows(self):
+        feats = np.arange(10)[:, None].astype(np.float32)
+        labels = np.arange(10).astype(np.int32)
+        w, l = lag_windows(feats, labels, lag=5)
+        assert w.shape == (6, 5, 1)
+        assert (l == np.arange(4, 10)).all()
+        assert (w[0, :, 0] == np.arange(5)).all()
+
+
+class TestSMOTE:
+    def test_balances_classes(self):
+        rng = np.random.RandomState(0)
+        X = np.concatenate([rng.randn(90, 8), rng.randn(10, 8) + 5])
+        y = np.array([0] * 90 + [1] * 10)
+        X2, y2 = smote(X, y)
+        assert (y2 == 1).sum() == (y2 == 0).sum() == 90
+        # synthetic minority points live near the minority cluster
+        assert X2[y2 == 1].mean() > 3.0
+
+    def test_lag_window_roundtrip(self):
+        rng = np.random.RandomState(1)
+        g = rng.randn(20, 5, 2, 4, 4).astype(np.float32)
+        t = rng.randn(20, 5, 8).astype(np.float32)
+        m = rng.randn(20, 5, 4).astype(np.float32)
+        y = np.array([0] * 15 + [1] * 5)
+        g2, t2, m2, y2 = smote_lag_windows(g, t, m, y)
+        assert g2.shape[1:] == g.shape[1:]
+        assert len(y2) == 30
+
+
+class TestVQA:
+    def test_get_score(self):
+        assert get_score(0) == 0
+        assert get_score(2) == 2 / 3
+        assert get_score(5) == 1.0
+
+    def test_soft_targets(self):
+        l2i = build_label2id([["cat", "dog"], ["dog", "bird"]])
+        t = soft_targets({"dog": 3, "bird": 1}, l2i)
+        assert t[l2i["dog"]] == 1.0
+        assert abs(t[l2i["bird"]] - 1 / 3) < 1e-6
+
+    def test_collate_shapes(self):
+        recs = [{"input_ids": [1, 2, 3], "image": np.ones((3, 10, 12)),
+                 "soft_target": np.zeros(7)},
+                {"input_ids": [4, 5], "image": np.ones((3, 16, 8)),
+                 "soft_target": np.zeros(7)}]
+        batch = vqa_collate(recs, 7, max_text_len=6, height=20, width=20)
+        assert batch["language_input_ids"].shape == (2, 6)
+        assert batch["pixel_values"].shape == (2, 3, 20, 20)
+        assert batch["pixel_mask"].sum() == 10 * 12 + 16 * 8
+        assert batch["attention_mask"][0].sum() == 3
+
+
+class TestSplitsAndBuilders:
+    def test_split_deterministic(self):
+        a, b, c = train_val_test_split(100)
+        a2, b2, c2 = train_val_test_split(100)
+        assert (a == a2).all() and (b == b2).all() and (c == c2).all()
+        assert len(a) == 60 and len(b) == 20 and len(c) == 20
+        assert len(set(a) | set(b) | set(c)) == 100
+
+    def test_tempstock_large_builder(self):
+        lag = 2
+        rows = []
+        for i in range(4):
+            row = {"label": i % 2}
+            for d in range(lag):
+                row[f"text_{d}"] = f"hello world {i} {d}"
+                for col in ("EMA12", "EMA26", "Signal_Line",
+                            "MACD_Histogram", "MACD"):
+                    row[f"{col}_{d}"] = float(i + d)
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        graphs = np.zeros((4, lag, 3, 8, 8), np.float32)
+        out = tempstock_large_from_frame(df, graphs, hash_tokenize(1000, 16),
+                                         lag=lag, max_len=16)
+        assert out["input_ids"].shape == (4, lag, 16)
+        assert out["prices"].shape == (4, lag, 5)
+        assert (out["attention_mask"].sum(-1) > 0).all()
+
+    def test_stocknet_builder(self):
+        lag = 2
+        rows = []
+        for i in range(3):
+            row = {"label": i % 2}
+            for d in range(lag):
+                row[f"text_{d}"] = f"tweet {i} {d}"
+                for col in ("high", "low", "close"):
+                    row[f"{col}_{d}"] = float(i)
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        out = stocknet_from_frame(df, hash_tokenize(1000, 8), lag=lag,
+                                  max_len=8)
+        assert out["tweets"].shape == (3, lag, 8)
+        assert out["prices"].shape == (3, lag, 3)
