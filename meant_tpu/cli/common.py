@@ -1,0 +1,162 @@
+"""Shared CLI plumbing: the reference's argparse flag set
+(`in_loop_train.py:384-434` — flag names preserved so launch scripts port
+unchanged), str2bool, and model construction by name."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def str2bool(v):
+    """`in_loop_train.py:54-62`."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def base_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # Learning rate scheduler
+    p.add_argument("-t0", "--t0", type=int, default=7)
+    p.add_argument("-tm", "--tmax", type=int, default=10)
+    p.add_argument("-lrst", "--learning_rate_scheduler_type", type=str,
+                   default="cosine_warm")
+    # optimizer
+    p.add_argument("-l", "--learning_rate", type=float, default=5e-5)
+    p.add_argument("-o", "--optimizer", type=str, default="AdamW")
+    p.add_argument("-d", "--decay", type=float, default=0.0)
+    p.add_argument("-b1", "--beta_1", type=float, default=0.9)
+    p.add_argument("-b2", "--beta_2", type=float, default=0.999)
+    # Training loop
+    p.add_argument("-e", "--epoch", type=int, default=0)
+    p.add_argument("-ne", "--num_epochs", type=int, default=10)
+    p.add_argument("-es", "--early_stopping", type=str2bool, nargs="?",
+                   const=False, default=False)
+    p.add_argument("-s", "--stoppage", type=float, default=1e-4)
+    p.add_argument("-tb", "--train_batch_size", type=int, default=16)
+    p.add_argument("-eb", "--eval_batch_size", type=int, default=1)
+    p.add_argument("-tesb", "--test_batch_size", type=int, default=1)
+    p.add_argument("-testm", "--test_model", type=str2bool, nargs="?",
+                   const=True, default=True)
+    # Model specific
+    p.add_argument("-mn", "--model_name", type=str, default="meant")
+    p.add_argument("-nc", "--num_classes", type=int, default=2)
+    p.add_argument("-t", "--task", type=str, default="classification")
+    p.add_argument("-cl", "--cache_location", type=str)
+    p.add_argument("-di", "--dimension", type=int, default=128)
+    p.add_argument("-nl", "--num_layers", type=int, default=3)
+    p.add_argument("-do", "--dropout", type=float, default=0.0)
+    p.add_argument("-ptm", "--pretrained_model", type=str, default=None)
+    p.add_argument("-p", "--pretrained", type=str2bool, nargs="?",
+                   const=False, default=False)
+    p.add_argument("-nec", "--num_encoders", type=int, default=12)
+    p.add_argument("-img", "--image_only", type=str2bool, nargs="?",
+                   const=False, default=False)
+    p.add_argument("-lang", "--language_only", type=str2bool, nargs="?",
+                   const=False, default=False)
+    # hugging face
+    p.add_argument("-hf", "--hugging_face_model", type=str2bool, nargs="?",
+                   const=False, default=False)
+    p.add_argument("-hfd", "--hugging_face_data", type=str, default=None)
+    p.add_argument("-hft", "--hugging_face_tokenizer", type=str, default=None)
+    # Miscellaneous
+    p.add_argument("-db", "--debug", type=bool, default=False)
+    p.add_argument("-fp", "--file_path", type=str, default=".")
+    p.add_argument("-rid", "--run_id", type=str, required=True)
+    p.add_argument("-lag", "--lag", type=int, default=5)
+    p.add_argument("-norm", "--normalize", type=str2bool, nargs="?",
+                   const=False, default=False)
+    p.add_argument("-ds", "--dataset", type=str, default="Tempstock")
+    # TPU-native extras (not in the reference)
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="Directory with the dataset .npy/.csv files; "
+                        "synthetic data when omitted (smoke runs)")
+    p.add_argument("--bf16", type=str2bool, nargs="?", const=True,
+                   default=True, help="bf16 activations (fp32 params)")
+    p.add_argument("--flash", type=str2bool, nargs="?", const=False,
+                   default=False, help="Pallas flash-attention kernels")
+    p.add_argument("--track", type=str2bool, nargs="?", const=False,
+                   default=False)
+    p.add_argument("--synthetic_n", type=int, default=64,
+                   help="synthetic sample count when --data_dir is omitted")
+    p.add_argument("--seq_len", type=int, default=128)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--text_dim", type=int, default=768)
+    p.add_argument("--image_dim", type=int, default=768)
+    p.add_argument("--vocab_size", type=int, default=64001)
+    p.add_argument("--num_heads", type=int, default=8)
+    return p
+
+
+def build_model(args, emb_cfg=None):
+    """Model registry keyed by the reference's --model_name values
+    (`in_loop_train.py:440-541`, `src/trainer.py:409-755`)."""
+    from meant_tpu.models import (EmbeddingConfig, meant, meantPrice,
+                                  meantTweetPrice, meant_mean_pooling,
+                                  meant_mosi, meant_price, meant_src,
+                                  meant_timesformer, meant_tweet,
+                                  meant_tweet_no_lag, meant_vision,
+                                  meant_vqa, mlpEncoder, LSTMEncoder)
+
+    td, imd = args.text_dim, args.image_dim
+    emb = emb_cfg or EmbeddingConfig(vocab_size=args.vocab_size,
+                                     hidden_size=td)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    size = args.image_size
+    common = dict(num_heads=args.num_heads,
+                  num_encoders=args.num_encoders, dtype=dtype)
+    name = args.model_name
+    if name == "meant":
+        return meant(td, imd, 4, size, size, 16, args.lag,
+                     args.num_classes, embedding=emb, flash=args.flash,
+                     channels=4, **common)
+    if name == "meant_src":
+        return meant_src(td, imd, 5, size, size, 16, args.lag,
+                         args.num_classes, embedding=emb, flash=args.flash,
+                         channels=3, seq_len=512, **common)
+    if name == "meant_vision":
+        return meant_vision(imd, 4, size, size, 16, args.lag,
+                            args.num_classes, flash=args.flash, channels=4,
+                            **common)
+    if name == "meant_tweet":
+        return meant_tweet(td, 4, args.lag, args.num_classes, embedding=emb,
+                           flash=args.flash, **common)
+    if name == "meant_tweet_no_lag":
+        return meant_tweet_no_lag(td, 4, size, size, 16, args.num_classes,
+                                  embedding=emb, **common)
+    if name == "meantPrice":
+        return meantPrice(td, imd, 4, size, size, 16, args.lag,
+                          args.num_classes, embedding=emb, **common)
+    if name == "meant_tweet_price":
+        return meantTweetPrice(td, 5, args.lag, args.num_classes,
+                               embedding=emb, flash=args.flash, **common)
+    if name == "meant_price":
+        return meant_price(5, args.lag, args.num_classes, num_heads=1,
+                           dtype=dtype)
+    if name == "meant_timesformer":
+        return meant_timesformer(td, imd, 5, size, size, 16, args.lag,
+                                 args.num_classes, embedding=emb,
+                                 flash=args.flash, channels=3, **common)
+    if name == "meant_mean_pooling":
+        return meant_mean_pooling(td, imd, 5, size, size, 16, args.lag,
+                                  args.num_classes, embedding=emb,
+                                  flash=args.flash, channels=3, **common)
+    if name == "meant_mosi":
+        return meant_mosi(td, imd, lag=50, num_classes=args.num_classes,
+                          embedding=None, **common)
+    if name == "meant_vqa":
+        return meant_vqa(td, imd, 4, size, size, 16, 1, args.num_classes,
+                         embedding=emb, flash=args.flash, **common)
+    if name == "mlp":
+        return mlpEncoder(5, args.num_classes, args.dimension,
+                          args.num_layers)
+    if name == "lstm":
+        return LSTMEncoder(5, args.num_classes, args.dimension,
+                           args.num_layers)
+    raise ValueError(f"model {name} not supported")
