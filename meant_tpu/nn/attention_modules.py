@@ -180,3 +180,52 @@ class TemporalAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, 1, atten_size)
         return Linear(d, atten_size, init_style=self.init_style,
                       dtype=self.dtype, name="multi_mad")(out)
+
+
+class TemporalAttention2(nn.Module):
+    """temporal_2 (`src/meant/temporal_new.py:7-69`): 4-D lag attention over
+    (b, lag, s, d). Query from the LAST lag step only (all s positions),
+    keys/values over every lag step (broadcast over l), scale 1/sqrt(Dh),
+    numerically-stabilized softmax (the reference subtracts the row max —
+    redundant with a proper softmax but shown for fidelity), output
+    rearranged 'b l h s d -> b s (l h d)' with l == 1 and projected by
+    multi_mad Linear(lag * h * Dh, dim) — NOTE the reference sizes multi_mad
+    by `lag` though the attended l-axis is 1; weights beyond h*Dh are dead
+    (documented quirk; here multi_mad takes the live h*Dh slice)."""
+    num_heads: int
+    dim: int
+    lag: int = 5
+    sequence_length: int = 128
+    init_style: str = "xavier"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, attention_mask=None):
+        b, l, s, d = x.shape
+        h = self.num_heads
+        dh = max(d // h, 1)
+        atten = dh * h
+        q = Linear(atten, d, init_style=self.init_style, dtype=self.dtype,
+                   name="q")(x[:, -1])                    # (b, s, atten)
+        k = Linear(atten, d, init_style=self.init_style, dtype=self.dtype,
+                   name="k")(x)                           # (b, l, s, atten)
+        v = Linear(atten, d, init_style=self.init_style, dtype=self.dtype,
+                   name="v")(x)
+        q = q.reshape(b, 1, s, h, dh).transpose(0, 1, 3, 2, 4)   # b 1 h s d
+        k = k.reshape(b, l, s, h, dh).transpose(0, 1, 3, 2, 4)   # b l h s d
+        v = v.reshape(b, l, s, h, dh).transpose(0, 1, 3, 2, 4)
+        scores = jnp.einsum("bihqd,blhkd->blhqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) / math.sqrt(dh)
+        if attention_mask is not None:
+            bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
+            scores = scores + bias[:, :, None, None, :]
+        weights = jax.nn.softmax(scores, axis=-1)
+        inter = jnp.einsum("blhqk,blhkd->blhqd", weights,
+                           v.astype(jnp.float32)).astype(x.dtype)
+        # 'b l h s d -> b s (l h d)' with the attended l axis == l (broadcast
+        # kept all lag rows); the reference keeps q's l==1... its q row
+        # broadcasts over k's l, giving l output rows — flatten l*h*dh.
+        inter = inter.transpose(0, 3, 1, 2, 4).reshape(b, s, l * h * dh)
+        out = Linear(d, self.lag * atten, init_style=self.init_style,
+                     dtype=self.dtype, name="multi_mad")(inter)
+        return out

@@ -1,0 +1,154 @@
+"""Torch → flax weight porting.
+
+Maps reference state_dicts onto meant_tpu param trees so pretrained weights
+(HF bertweet embeddings, trained MEANT checkpoints) carry over and the 1e-3
+logit-parity target holds with real weights.
+
+Key mapping rules:
+  * torch Linear weight (out, in) -> flax Dense kernel (in, out): transpose.
+  * PROJECTION-NAMING QUIRK: the reference assigns ``(q(x), v(x), k(x))`` to
+    ``q_mat, k_mat, v_mat`` (`meant/xPosAttention.py:37-38`,
+    `meant/attention.py:37-38`, `meant/temporal.py:38-39`), i.e. its "v"
+    Linear computes KEYS and its "k" Linear computes VALUES. This importer
+    therefore maps reference `v.*` -> flax `k` and `k.*` -> flax `v` for
+    those modules. The src-era temporal (`src/meant/temporal.py:44-46`) uses
+    the straight order — `swap_kv=False` for it.
+  * encode/encode2 ModuleList indices -> named flax submodules:
+      encode[0]=norm1, encode[1]=proj_in, encode[2]=attn,
+      encode[3]=norm2, encode[-1]=proj_out,
+      encode2[0]=norm3, encode2[1]=ff_in, encode2[3]=norm4,
+      encode2[-1]=ff_out  (`meant/meant.py:57-64,100-107`).
+  * rotary freq tables: RotaryEmbedding.freqs -> attn/freqs (exact fp32
+    values carried — required for bit-tight angle parity).
+  * HF RobertaEmbeddings -> RobertaEmbeddings param names.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    try:
+        return x.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def linear_params(sd: Mapping, prefix: str) -> Dict:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return {"dense": out}
+
+
+def norm_params(sd: Mapping, prefix: str, kind: str) -> Dict:
+    if kind == "rms":
+        out = {"scale": _t(sd[f"{prefix}.scale"])}
+        if f"{prefix}.offset" in sd:
+            out["offset"] = _t(sd[f"{prefix}.offset"])
+        return out
+    return {"scale": _t(sd[f"{prefix}.weight"]),
+            "offset": _t(sd[f"{prefix}.bias"])}
+
+
+def attention_params(sd: Mapping, prefix: str, swap_kv: bool = True,
+                     freqs_key: str = None) -> Dict:
+    """q/k/v/multi_mad of an xPosAttention / attention / temporal module."""
+    k_src = "v" if swap_kv else "k"
+    v_src = "k" if swap_kv else "v"
+    out = {
+        "q": linear_params(sd, f"{prefix}.q"),
+        "k": linear_params(sd, f"{prefix}.{k_src}"),
+        "v": linear_params(sd, f"{prefix}.{v_src}"),
+        "multi_mad": linear_params(sd, f"{prefix}.multi_mad"),
+    }
+    if freqs_key and freqs_key in sd:
+        out["freqs"] = _t(sd[freqs_key])
+    return out
+
+
+def encoder_params(sd: Mapping, prefix: str, norm: str = "rms",
+                   ff_norm2: str = None, xpos_prefix: str = None) -> Dict:
+    """One languageEncoder/visionEncoder.
+    encode indices with dropout present shift proj_out to encode[5]
+    (`meant/meant.py:100-107`); both 5- and 6-element layouts are handled by
+    probing which index holds the final Linear."""
+    ff_norm2 = ff_norm2 or norm
+
+    def maybe_linear(i):
+        return f"{prefix}.encode.{i}.weight" in sd
+
+    proj_out_idx = 5 if maybe_linear(5) else 4
+    ff_out_idx = 5 if f"{prefix}.encode2.5.weight" in sd else 4
+    freqs_key = (f"{xpos_prefix}.freqs" if xpos_prefix else None)
+    return {
+        "norm1": norm_params(sd, f"{prefix}.encode.0", norm),
+        "proj_in": linear_params(sd, f"{prefix}.encode.1"),
+        "attn": attention_params(sd, f"{prefix}.encode.2", swap_kv=True,
+                                 freqs_key=freqs_key),
+        "norm2": norm_params(sd, f"{prefix}.encode.3", norm),
+        "proj_out": linear_params(sd, f"{prefix}.encode.{proj_out_idx}"),
+        "norm3": norm_params(sd, f"{prefix}.encode2.0", norm),
+        "ff_in": linear_params(sd, f"{prefix}.encode2.1"),
+        "norm4": norm_params(sd, f"{prefix}.encode2.3", ff_norm2),
+        "ff_out": linear_params(sd, f"{prefix}.encode2.{ff_out_idx}"),
+    }
+
+
+def roberta_embedding_params(sd: Mapping, prefix: str = "") -> Dict:
+    """HF RobertaEmbeddings state_dict -> RobertaEmbeddings params.
+    Accepts prefixes like 'embeddings.' or 'embedding.0.'."""
+    p = prefix
+    return {
+        "word_embeddings": _t(sd[f"{p}word_embeddings.weight"]),
+        "position_embeddings": _t(sd[f"{p}position_embeddings.weight"]),
+        "token_type_embeddings": _t(sd[f"{p}token_type_embeddings.weight"]),
+        "ln_scale": _t(sd[f"{p}LayerNorm.weight"]),
+        "ln_bias": _t(sd[f"{p}LayerNorm.bias"]),
+    }
+
+
+def lm_head_params(sd: Mapping, prefix: str = "lm_head.") -> Dict:
+    """HF RobertaLMHead -> RobertaLMHead params."""
+    p = prefix
+    return {
+        "dense": linear_params(sd, f"{p}dense"),
+        "norm": {"scale": _t(sd[f"{p}layer_norm.weight"]),
+                 "offset": _t(sd[f"{p}layer_norm.bias"])},
+        "decoder": linear_params(sd, f"{p}decoder"),
+    }
+
+
+def import_meant(sd: Mapping, num_encoders: int) -> Dict:
+    """Full paper-generation `meant` state_dict -> params['params'] tree."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "patchEmbed": linear_params(sd, "patchEmbed.1"),
+        "temporal_encoding_0": {
+            "temp_embedding": _t(sd["temporal_encoding.0.temp_embedding"]),
+            "norm1": norm_params(sd, "temporal_encoding.0.temp_encode.0",
+                                 "rms"),
+            "proj_in": linear_params(sd, "temporal_encoding.0.temp_encode.1"),
+            "temporal": attention_params(
+                sd, "temporal_encoding.0.temp_encode.2", swap_kv=True),
+            "norm2": norm_params(sd, "temporal_encoding.0.temp_encode.3",
+                                 "rms"),
+            "proj_out": linear_params(sd,
+                                      "temporal_encoding.0.temp_encode.4"),
+        },
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "rms"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="rms",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+        params[f"visionEncoders_{i}"] = encoder_params(
+            sd, f"visionEncoders.{i}", norm="rms",
+            xpos_prefix=f"visionEncoders.{i}.posEmbed")
+    return params
