@@ -93,6 +93,7 @@ class bertweet_wrapper(nn.Module):
     output_dim: int = 2
     vocab_size: int = 64001
     num_layers: int = 12
+    num_heads: int = 12
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -100,7 +101,8 @@ class bertweet_wrapper(nn.Module):
         attention_mask = (tweets != 1).astype(jnp.float32)
         _, pooled = RobertaModel(
             vocab_size=self.vocab_size, hidden_size=self.input_dim,
-            num_layers=self.num_layers, dtype=self.dtype,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            intermediate_size=4 * self.input_dim, dtype=self.dtype,
             name="bertweet")(tweets, attention_mask,
                              deterministic=deterministic)
         pooled = nn.Dropout(0.1, name="drop")(pooled,
@@ -118,6 +120,7 @@ class roberta_mlm_wrapper(nn.Module):
     output_dim: int = 512
     vocab_size: int = 64001
     num_layers: int = 12
+    num_heads: int = 12
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -125,7 +128,8 @@ class roberta_mlm_wrapper(nn.Module):
                  deterministic: bool = True):
         hidden = RobertaModel(
             vocab_size=self.vocab_size, hidden_size=self.input_dim,
-            num_layers=self.num_layers, dtype=self.dtype,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            intermediate_size=4 * self.input_dim, dtype=self.dtype,
             name="roberta")(input_ids, attention_mask,
                             deterministic=deterministic,
                             return_pooled=False)
@@ -146,6 +150,7 @@ class vl_BERT_Wrapper(nn.Module):
     output_dim: int = 2
     vocab_size: int = 64001
     num_layers: int = 12
+    num_heads: int = 12
     visual_embed_dim: int = 2048
     patch_res: int = 16
     channels: int = 4
@@ -172,7 +177,8 @@ class vl_BERT_Wrapper(nn.Module):
              jnp.ones(visual.shape[:-1], jnp.float32)), axis=1)
         hidden, pooled = RobertaModel(
             vocab_size=self.vocab_size, hidden_size=self.input_dim,
-            num_layers=self.num_layers, dtype=self.dtype,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            intermediate_size=4 * self.input_dim, dtype=self.dtype,
             name="bert")(inputs_embeds=x, attention_mask=mask,
                          deterministic=deterministic)
         pooled = nn.Dropout(0.1, name="drop")(pooled,
@@ -191,6 +197,7 @@ class ViltWrapper(nn.Module):
     output_dim: int = 2
     vocab_size: int = 64001
     num_layers: int = 12
+    num_heads: int = 12
     patch_res: int = 32
     channels: int = 4
     dtype: Optional[jnp.dtype] = None
@@ -211,7 +218,8 @@ class ViltWrapper(nn.Module):
              jnp.ones(visual.shape[:-1], jnp.float32)), axis=1)
         hidden, pooled = RobertaModel(
             vocab_size=self.vocab_size, hidden_size=self.input_dim,
-            num_layers=self.num_layers, dtype=self.dtype,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            intermediate_size=4 * self.input_dim, dtype=self.dtype,
             name="vilt")(inputs_embeds=x, attention_mask=mask,
                          deterministic=deterministic)
         pooled = nn.Dropout(0.1, name="drop")(pooled,

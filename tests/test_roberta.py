@@ -29,7 +29,7 @@ def test_roberta_model():
 
 def test_bertweet_wrapper():
     m = bertweet_wrapper(input_dim=32, output_dim=2, vocab_size=64,
-                         num_layers=1)
+                         num_layers=1, num_heads=4)
     ids = jnp.asarray(np.random.RandomState(0).randint(2, 64, (B, S)),
                       jnp.int32)
     params = m.init(jax.random.PRNGKey(0), ids)
@@ -39,7 +39,7 @@ def test_bertweet_wrapper():
 
 
 def test_roberta_mlm_wrapper():
-    m = roberta_mlm_wrapper(input_dim=32, vocab_size=64, num_layers=1)
+    m = roberta_mlm_wrapper(input_dim=32, vocab_size=64, num_layers=1, num_heads=4)
     ids = jnp.ones((B, S), jnp.int32) * 3
     params = m.init(jax.random.PRNGKey(0), ids)
     out = m.apply(params, ids)
@@ -48,8 +48,8 @@ def test_roberta_mlm_wrapper():
 
 def test_vl_bert_wrapper():
     m = vl_BERT_Wrapper(input_dim=32, output_dim=2, vocab_size=64,
-                        num_layers=1, visual_embed_dim=48, patch_res=16,
-                        channels=4)
+                        num_layers=1, num_heads=4, visual_embed_dim=48,
+                        patch_res=16, channels=4)
     ids = jnp.ones((B, S), jnp.int32) * 3
     imgs = jnp.ones((B, 4, 32, 32), jnp.float32)
     params = m.init(jax.random.PRNGKey(0), ids, imgs)
@@ -58,7 +58,7 @@ def test_vl_bert_wrapper():
 
 
 def test_vilt_wrapper():
-    m = ViltWrapper(input_dim=32, output_dim=2, vocab_size=64, num_layers=1,
+    m = ViltWrapper(input_dim=32, output_dim=2, vocab_size=64, num_layers=1, num_heads=4,
                     patch_res=32, channels=4)
     ids = jnp.ones((B, S), jnp.int32) * 3
     imgs = jnp.ones((B, 4, 64, 64), jnp.float32)
