@@ -128,12 +128,15 @@ def djia_from_frame(df, tokenize, lag: int = 5, max_len: int = 512,
 
 
 def hash_tokenize(vocab_size: int = 64000, max_len: int = 128):
-    """Deterministic whitespace-hash tokenizer — the no-network fallback for
-    smoke runs; real runs pass an HF tokenizer's encode."""
+    """Deterministic whitespace-hash tokenizer (FNV-1a via the native C++
+    kernel, numpy fallback) — the no-network stand-in for smoke runs; real
+    runs pass an HF tokenizer's encode."""
+    from meant_tpu import native
+
     def tok(text: str):
-        ids = [2] + [3 + (hash(w) % (vocab_size - 4))
-                     for w in text.split()][: max_len - 2] + [2]
-        return ids
+        ids, mask = native.fnv1a_tokenize([text], max_len, vocab_size)
+        n = int(mask[0].sum())
+        return ids[0, :n].tolist()
 
     return tok
 
