@@ -56,3 +56,42 @@ class ArrayLoader:
             w[:rem] = 1.0
             batch["_weight"] = w
             yield batch
+
+
+class Prefetcher:
+    """Double-buffered host->device pipeline: assembles and transfers the
+    next batch (optionally sharding over a mesh) on a background thread while
+    the current step computes — the HBM-resident streaming input path
+    replacing the reference's synchronous per-batch `.cuda()` copies
+    (`in_loop_train.py:217`, SURVEY.md §3.1)."""
+
+    def __init__(self, loader, device_put, depth: int = 2):
+        self.loader = loader
+        self.device_put = device_put
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        END = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(self.device_put(batch))
+            finally:
+                q.put(END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            yield item
+        t.join()

@@ -210,8 +210,8 @@ class meant_trainer:
             t0 = time.time()
             train_metrics = F1Metrics(self.num_classes, "train")
             losses = []
-            for batch in self.train_loader:
-                batch = self._device_batch(batch)
+            from meant_tpu.data.loader import Prefetcher
+            for batch in Prefetcher(self.train_loader, self._device_batch):
                 self.state, loss, cm = self._jit_train(self.state, batch)
                 train_metrics.update_cm(cm)
                 losses.append(loss)  # device array — no sync in the loop
@@ -260,8 +260,8 @@ class meant_trainer:
         if self._jit_eval is None:
             self._build_steps()
         metrics = F1Metrics(self.num_classes, set_name)
-        for batch in loader:
-            batch = self._device_batch(batch)
+        from meant_tpu.data.loader import Prefetcher
+        for batch in Prefetcher(loader, self._device_batch):
             loss, cm, out = self._jit_eval(self.state, batch)
             metrics.update_cm(cm)
             if self.num_classes == 2:
