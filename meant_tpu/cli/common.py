@@ -153,6 +153,30 @@ def build_model(args, emb_cfg=None):
     if name == "meant_vqa":
         return meant_vqa(td, imd, 4, size, size, 16, 1, args.num_classes,
                          embedding=emb, flash=args.flash, **common)
+    if name == "teanet":
+        from meant_tpu.models import teanet
+        return teanet(dim=args.dimension, num_heads=4, lag=args.lag,
+                      num_classes=args.num_classes,
+                      vocab_size=args.vocab_size, price_dim=4,
+                      num_layers=args.num_layers, dtype=dtype)
+    if name == "bertweet":
+        from meant_tpu.models import bertweet_wrapper
+        return bertweet_wrapper(input_dim=td, output_dim=args.num_classes,
+                                vocab_size=args.vocab_size,
+                                num_layers=args.num_encoders,
+                                num_heads=args.num_heads, dtype=dtype)
+    if name == "vl_bert":
+        from meant_tpu.models import vl_BERT_Wrapper
+        return vl_BERT_Wrapper(input_dim=td, output_dim=args.num_classes,
+                               vocab_size=args.vocab_size,
+                               num_layers=args.num_encoders,
+                               num_heads=args.num_heads, dtype=dtype)
+    if name == "vilt":
+        from meant_tpu.models import ViltWrapper
+        return ViltWrapper(input_dim=td, output_dim=args.num_classes,
+                           vocab_size=args.vocab_size,
+                           num_layers=args.num_encoders,
+                           num_heads=args.num_heads, dtype=dtype)
     if name == "mlp":
         return mlpEncoder(5, args.num_classes, args.dimension,
                           args.num_layers)

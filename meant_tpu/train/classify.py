@@ -58,16 +58,31 @@ def sigmoid_ce_loss(out: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(nll * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
 
-# Forward-signature dispatch, mirroring `in_loop_train.py:212-272`.
+# kwargs-era models consume the batch dict directly
+# (`src/trainer.py:236-243`: `out = self.model.forward(**batch)`).
+KWARGS_MODELS = ("meant_src", "meant_price", "meant_timesformer",
+                 "meant_mean_pooling", "meant_mosi", "mlp", "lstm")
+_NON_INPUT_KEYS = ("y", "_weight", "labels")
+
+
+# Forward-signature dispatch, mirroring `in_loop_train.py:212-272` (positional
+# paper-generation APIs) and `src/trainer.py:236-243` (kwargs batches).
 def model_inputs(model_name: str, batch: Dict[str, Any]) -> tuple:
+    if model_name in KWARGS_MODELS:
+        return (), {k: v for k, v in batch.items()
+                    if k not in _NON_INPUT_KEYS}
     if model_name == "meant":
         return (batch["tweets"], batch["graphs"]), \
                {"attention_mask": batch.get("attention_masks")}
     if model_name == "meant_vision":
         return (batch["graphs"],), {}
-    if model_name in ("meant_tweet",):
+    if model_name == "meant_tweet":
         return (batch["tweets"],), \
                {"attention_mask": batch.get("attention_masks")}
+    if model_name in ("bertweet", "bert", "finbert"):
+        # HF baselines run on the TARGET day only
+        # (`in_loop_train.py:244,252`: tweets[:, 4, :]).
+        return (batch["tweets"][:, -1],), {}
     if model_name == "meant_tweet_no_lag":
         return (batch["tweets"],), {}
     if model_name == "meantPrice":
@@ -75,6 +90,14 @@ def model_inputs(model_name: str, batch: Dict[str, Any]) -> tuple:
     if model_name == "meant_tweet_price":
         return (batch["tweets"], batch["prices"]), \
                {"attention_mask": batch.get("attention_masks")}
+    if model_name in ("vl_bert", "vilt"):
+        # multimodal HF baselines: target day only (`in_loop_train.py:244`).
+        return (batch["tweets"][:, -1], batch["graphs"][:, -1]), {}
+    if model_name == "teanet":
+        # Tempstock feeds macds, Stocknet feeds prices
+        # (`in_loop_train.py:223,256`).
+        price = batch["macds"] if "macds" in batch else batch["prices"]
+        return (batch["tweets"], price), {}
     raise ValueError(f"model {model_name} not supported")
 
 
@@ -106,6 +129,9 @@ class meant_trainer:
         self.epoch_offset = p.get("epoch", 0)
 
         self.mesh = p.get("mesh") or make_mesh()
+        # gradient accumulation (`src/trainer.py:222-251`; the reference's
+        # (counter+1) % steps skip-first-step off-by-one is NOT replicated)
+        self.accumulation_steps = p.get("accumulation_steps", 1)
         self._opt_kwargs = dict(
             optimizer=p.get("optimizer", "AdamW"),
             learning_rate=p.get("lr", 5e-5),
@@ -133,6 +159,9 @@ class meant_trainer:
         if "init_params" in self.__dict__ and self.init_params is not None:
             params = self.init_params
         tx = build_optimizer(params, **self._opt_kwargs)
+        if self.accumulation_steps > 1:
+            import optax
+            tx = optax.MultiSteps(tx, self.accumulation_steps)
         state = TrainState.create(apply_fn=self.model.apply, params=params,
                                   tx=tx)
         self.state = jax.device_put(state, replicated(self.mesh))
@@ -186,12 +215,11 @@ class meant_trainer:
     def _device_batch(self, batch):
         db = {}
         for k, v in batch.items():
-            if k == "y":
-                db[k] = jnp.asarray(v).astype(jnp.int32)
-            elif k == "tweets":
-                db[k] = jnp.asarray(v).astype(jnp.int32)
-            else:
-                db[k] = jnp.asarray(v)
+            arr = jnp.asarray(v)
+            if k in ("y", "tweets", "input_ids") and \
+                    jnp.issubdtype(arr.dtype, jnp.integer):
+                arr = arr.astype(jnp.int32)
+            db[k] = arr
         return shard_batch(db, self.mesh)
 
     # ---- loops -----------------------------------------------------------

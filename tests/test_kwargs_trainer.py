@@ -1,0 +1,51 @@
+"""kwargs-era trainer path (src/trainer.py semantics): meant_src trained via
+forward(**batch), plus gradient accumulation."""
+
+import numpy as np
+
+from meant_tpu.data import ArrayLoader
+from meant_tpu.models import EmbeddingConfig, meant_src
+from meant_tpu.train import meant_trainer
+
+TINY_EMB = EmbeddingConfig(vocab_size=64, hidden_size=32,
+                           max_position_embeddings=40, dropout=0.0)
+B, LAG, S = 8, 5, 12
+
+
+def data(n=32):
+    rng = np.random.RandomState(0)
+    return {
+        "input_ids": rng.randint(2, 64, size=(n, LAG, S)).astype(np.int32),
+        "pixels": rng.randn(n, LAG, 3, 32, 32).astype(np.float32),
+        "prices": rng.randn(n, LAG, 5).astype(np.float32),
+        "attention_mask": np.ones((n, LAG, S), np.float32),
+        "y": rng.randint(0, 2, size=(n,)).astype(np.int32),
+    }
+
+
+def make_trainer(tmp_path, accumulation_steps=1):
+    model = meant_src(text_dim=32, image_dim=32, price_dim=5, height=32,
+                      width=32, patch_res=16, lag=LAG, num_classes=2,
+                      embedding=TINY_EMB, num_heads=4, num_encoders=1,
+                      channels=3, seq_len=S)
+    return meant_trainer({
+        "model": model, "model_name": "meant_src",
+        "dataset": "TempStockLarge",
+        "train_loader": ArrayLoader(data(), B, shuffle=True),
+        "epochs": 2, "num_classes": 2, "lag": LAG,
+        "file_path": str(tmp_path), "run_id": "21", "num_encoders": 1,
+        "lr": 1e-3, "lrst": "constant", "test_model": False,
+        "accumulation_steps": accumulation_steps,
+    })
+
+
+def test_kwargs_forward_trains(tmp_path):
+    tr = make_trainer(tmp_path)
+    tr.train()
+    assert np.isfinite(tr.history[-1]["train_loss"])
+
+
+def test_gradient_accumulation(tmp_path):
+    tr = make_trainer(tmp_path, accumulation_steps=2)
+    tr.train()
+    assert np.isfinite(tr.history[-1]["train_loss"])
