@@ -1,0 +1,111 @@
+"""Token-classification (NER) fine-tuning — rebuild of `checkpoint_train.py`
+(epoch-per-job resumable NER fine-tune) and the `src/hug` NER experiments
+(conll2003 / GENIA, `src/hug/in_loop_genia.py`).
+
+Pieces:
+  * align_labels: the reference's tokenize_and_align_labels label policy
+    (`checkpoint_train.py:109-135`): special tokens -100, only the FIRST
+    subword of each word labeled, continuations -100.
+  * TokenClassifier: RoBERTa backbone + per-token head.
+  * ner_trainer: CE with -100 ignore (shared with the MLM loss), per-epoch
+    orbax checkpoint + --epoch resume (the SLURM job-chaining workflow of
+    `checkpoint.sh:22-43`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from meant_tpu.nn.roberta import RobertaModel
+from meant_tpu.train.pretrain import _BasePretrainer, mlm_loss
+
+
+def align_labels(word_ids_batch: Sequence[Sequence[Optional[int]]],
+                 word_labels_batch: Sequence[Sequence[int]],
+                 ignore_index: int = -100) -> np.ndarray:
+    """Map word-level NER tags onto subword tokens
+    (`checkpoint_train.py:115-135`): None (special) -> -100; first subword of
+    a word -> its tag; continuation subwords -> -100."""
+    out = []
+    for word_ids, labels in zip(word_ids_batch, word_labels_batch):
+        prev = None
+        row = []
+        for w in word_ids:
+            if w is None:
+                row.append(ignore_index)
+            elif w != prev:
+                row.append(labels[w])
+            else:
+                row.append(ignore_index)
+            prev = w
+        out.append(row)
+    return np.asarray(out, np.int32)
+
+
+class TokenClassifier(nn.Module):
+    """RoBERTa backbone + token-classification head (the TPU-native
+    equivalent of AutoModelForTokenClassification in the reference)."""
+    num_labels: int
+    vocab_size: int = 64001
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None,
+                 deterministic: bool = True):
+        hidden = RobertaModel(
+            vocab_size=self.vocab_size, hidden_size=self.hidden_size,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            intermediate_size=4 * self.hidden_size, dropout=self.dropout,
+            dtype=self.dtype, name="roberta")(
+                input_ids, attention_mask, deterministic=deterministic,
+                return_pooled=False)
+        hidden = nn.Dropout(self.dropout, name="drop")(
+            hidden, deterministic=deterministic)
+        return nn.Dense(self.num_labels, dtype=self.dtype,
+                        name="classifier")(hidden)
+
+
+class ner_trainer(_BasePretrainer):
+    """Batches: input_ids (b, s), attention_mask (b, s), labels (b, s) with
+    -100 on unlabeled positions. Loss/early-stop semantics shared with the
+    pretrainer base (val-loss patience)."""
+    kind = "ner"
+
+    def _init_variables(self, rng, batch):
+        return self.model.init({"params": rng, "dropout": rng},
+                               jnp.asarray(batch["input_ids"]),
+                               jnp.asarray(batch["attention_mask"]))
+
+    def _apply(self, params, batch, deterministic, rng=None):
+        rngs = {"dropout": rng} if rng is not None else None
+        return self.model.apply({"params": params}, batch["input_ids"],
+                                batch["attention_mask"],
+                                deterministic=deterministic, rngs=rngs)
+
+    def _loss(self, out, batch):
+        return mlm_loss(out, batch["labels"])
+
+    def token_f1(self, loader, num_labels: int):
+        """Macro F1 over labeled (non--100) tokens."""
+        from meant_tpu.utils.metrics import metrics_from_confusion
+        cm = np.zeros((num_labels, num_labels), np.int64)
+        for batch in loader:
+            out = np.asarray(self._apply(self.state.params,
+                                         {k: jnp.asarray(v)
+                                          for k, v in batch.items()}, True))
+            preds = out.argmax(-1)
+            labels = np.asarray(batch["labels"])
+            valid = labels != -100
+            for t, p in zip(labels[valid].ravel(), preds[valid].ravel()):
+                cm[t, p] += 1
+        return metrics_from_confusion(cm)
