@@ -44,9 +44,9 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, scale: float,
     queries with the reference's additive -1e9 convention.
     Returns (..., s_q, d) in q.dtype.
     """
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("...qd,...kd->...qk", qf, kf,
+    # Keep matmul inputs in their storage dtype (bf16 models hit the MXU at
+    # full rate) while ACCUMULATING in fp32; the softmax chain stays fp32.
+    scores = jnp.einsum("...qd,...kd->...qk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if causal:
         s_q, s_k = scores.shape[-2], scores.shape[-1]
@@ -60,8 +60,8 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, scale: float,
         bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
         bias = bias[:, None, None, :]
         scores = scores + bias
-    weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("...qk,...kd->...qd", weights, v.astype(jnp.float32),
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("...qk,...kd->...qd", weights, v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
