@@ -94,6 +94,30 @@ def base_parser() -> argparse.ArgumentParser:
     return p
 
 
+def load_config(name: str) -> dict:
+    """Load a model hyperparameter JSON (equivalent of the reference's
+    `src/hug/configs/*.json` loaded with local_files_only AutoConfig,
+    `in_loop_train.py:454-464`)."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        f"{name}.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def embedding_from_config(name: str):
+    from meant_tpu.models import EmbeddingConfig
+    cfg = load_config(name)
+    return EmbeddingConfig(
+        vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+        max_position_embeddings=cfg["max_position_embeddings"],
+        type_vocab_size=cfg.get("type_vocab_size", 1),
+        padding_idx=cfg.get("pad_token_id", 1),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+        dropout=cfg.get("hidden_dropout_prob", 0.1))
+
+
 def build_model(args, emb_cfg=None):
     """Model registry keyed by the reference's --model_name values
     (`in_loop_train.py:440-541`, `src/trainer.py:409-755`)."""

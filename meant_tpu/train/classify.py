@@ -280,6 +280,19 @@ class meant_trainer:
             test_f1_macro, _, test_metrics = self.evaluate(self.test_loader,
                                                            "test")
             results["test"] = test_metrics
+            # confusion-matrix artifact (`src/trainer.py:316-331`)
+            try:
+                from meant_tpu.utils.observability import \
+                    save_confusion_matrix
+                save_confusion_matrix(
+                    np.asarray(test_metrics["confusion"]),
+                    os.path.join(self.file_path, "output_files",
+                                 self.dataset, "plots",
+                                 f"confusion_{self.model_name}_"
+                                 f"{self.run_id}.png"),
+                    title=f"{self.model_name} {self.dataset}")
+            except Exception as e:
+                print(f"confusion-matrix plot skipped: {e}")
         return results
 
     def evaluate(self, loader, set_name: str):
