@@ -1,4 +1,4 @@
-from .attention import attend, merge_heads, split_heads
+from .attention import attend, attend_bshd, merge_heads, split_heads
 from .norms import layer_norm, rms_norm
 from .rotary import (apply_rot_emb_sincos, apply_rotary, axial_rotary_sincos,
                      frame_rotary_sincos, lang_freqs, make_freqs, pixel_freqs,
@@ -8,7 +8,8 @@ from .patch import patchify
 from .temporal import lag_attend
 
 __all__ = [
-    "attend", "merge_heads", "split_heads", "layer_norm", "rms_norm",
+    "attend", "attend_bshd", "merge_heads", "split_heads", "layer_norm",
+    "rms_norm",
     "apply_rot_emb_sincos", "apply_rotary", "axial_rotary_sincos",
     "frame_rotary_sincos", "lang_freqs", "make_freqs", "pixel_freqs",
     "rope_angles", "rotate_half", "rotate_queries_and_keys",

@@ -66,6 +66,28 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, scale: float,
     return out.astype(q.dtype)
 
 
+def attend_bshd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                scale: float, causal: bool = False,
+                attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Transpose-free attention in the (b, s, h, d) layout — the TPU-fast
+    path (no head transposes; XLA feeds the MXU directly from the fused QKV
+    matmul). Same numerics as `attend`."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        s_q, s_k = scores.shape[-2], scores.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 1)
+        scores = jnp.where(col <= row + (s_k - s_q), scores, NEG_INF)
+    if attention_mask is not None:
+        bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
+        scores = scores + bias[:, None, None, :]
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """(b, s, h*d) -> (b, h, s, d)."""
     b, s, hd = x.shape
