@@ -8,6 +8,7 @@ from .meant_src import (LSTMEncoder, meantTweetPrice, meant_price, meant_src,
 from .meant_timesformer import (meant_mean_pooling, meant_mosi,
                                 meant_timesformer)
 from .pretrainers import meant_language_pretrainer, meant_vision_pretrainer
+from .meant_v2 import meant_v2
 from .teanet import teanet
 from meant_tpu.nn.roberta import (ViltWrapper, bertweet_wrapper,
                                   roberta_mlm_wrapper, vl_BERT_Wrapper)
@@ -19,5 +20,5 @@ __all__ = [
     "mlpEncoder", "meant_mean_pooling", "meant_mosi", "meant_timesformer",
     "meant_language_pretrainer", "meant_vision_pretrainer", "teanet",
     "ViltWrapper", "bertweet_wrapper", "roberta_mlm_wrapper",
-    "vl_BERT_Wrapper",
+    "vl_BERT_Wrapper", "meant_v2",
 ]
