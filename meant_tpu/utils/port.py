@@ -152,3 +152,63 @@ def import_meant(sd: Mapping, num_encoders: int) -> Dict:
             sd, f"visionEncoders.{i}", norm="rms",
             xpos_prefix=f"visionEncoders.{i}.posEmbed")
     return params
+
+
+def roberta_layer_params(sd: Mapping, prefix: str, num_heads: int) -> Dict:
+    """HF RobertaLayer state_dict -> meant_tpu.nn.roberta.RobertaLayer params
+    (flax MultiHeadDotProductAttention keeps per-head kernels
+    (d, heads, head_dim); HF stores (d, d))."""
+    def mha_proj(name):
+        w = _t(sd[f"{prefix}.attention.self.{name}.weight"]).T  # (d, d)
+        b = _t(sd[f"{prefix}.attention.self.{name}.bias"])
+        d = w.shape[0]
+        dh = d // num_heads
+        return {"kernel": w.reshape(d, num_heads, dh),
+                "bias": b.reshape(num_heads, dh)}
+
+    d = _t(sd[f"{prefix}.attention.output.dense.weight"]).shape[0]
+    dh = d // num_heads
+    out_w = _t(sd[f"{prefix}.attention.output.dense.weight"]).T  # (d, d)
+    return {
+        "attention": {
+            "query": mha_proj("query"),
+            "key": mha_proj("key"),
+            "value": mha_proj("value"),
+            "out": {"kernel": out_w.reshape(num_heads, dh, d),
+                    "bias": _t(sd[f"{prefix}.attention.output.dense.bias"])},
+        },
+        "attention_norm": {
+            "scale": _t(sd[f"{prefix}.attention.output.LayerNorm.weight"]),
+            "bias": _t(sd[f"{prefix}.attention.output.LayerNorm.bias"]),
+        },
+        "intermediate": {
+            "kernel": _t(sd[f"{prefix}.intermediate.dense.weight"]).T,
+            "bias": _t(sd[f"{prefix}.intermediate.dense.bias"]),
+        },
+        "output": {
+            "kernel": _t(sd[f"{prefix}.output.dense.weight"]).T,
+            "bias": _t(sd[f"{prefix}.output.dense.bias"]),
+        },
+        "output_norm": {
+            "scale": _t(sd[f"{prefix}.output.LayerNorm.weight"]),
+            "bias": _t(sd[f"{prefix}.output.LayerNorm.bias"]),
+        },
+    }
+
+
+def import_hf_roberta(sd: Mapping, num_layers: int, num_heads: int = 12,
+                      prefix: str = "roberta.") -> Dict:
+    """Full HF RobertaModel state_dict -> meant_tpu RobertaModel params
+    (embeddings + layers + pooler). `sd` may come from torch.load of a
+    pytorch_model.bin or a safetensors file read into a dict."""
+    p = prefix
+    params = {"embeddings": roberta_embedding_params(sd, f"{p}embeddings.")}
+    for i in range(num_layers):
+        params[f"layer_{i}"] = roberta_layer_params(
+            sd, f"{p}encoder.layer.{i}", num_heads)
+    if f"{p}pooler.dense.weight" in sd:
+        params["pooler"] = {
+            "kernel": _t(sd[f"{p}pooler.dense.weight"]).T,
+            "bias": _t(sd[f"{p}pooler.dense.bias"]),
+        }
+    return params
