@@ -314,15 +314,43 @@ class meant_trainer:
 
     # ---- persistence ------------------------------------------------------
     def save(self, epoch: int):
+        """Model params under /models/ (reference `in_loop_train.py:331`) and
+        optimizer state under /optimizers/ (`pretrain_mlm.py:228-230` — the
+        reference saves optimizer/scheduler state_dicts separately; the optax
+        state subsumes both since the schedule is step-indexed)."""
         name = ckpt.checkpoint_name(self.model_name, self.num_encoders,
                                     self.dataset, self.run_id, epoch)
         path = os.path.join(self.file_path, "models", self.model_name, name)
+        opt_path = os.path.join(self.file_path, "optimizers",
+                                self.model_name, name)
         try:
             ckpt.save(path, {"params": self.state.params,
                              "step": int(self.state.step)})
+            ckpt.save(opt_path, {"opt_state": self.state.opt_state,
+                                 "step": int(self.state.step)})
         except Exception as e:  # mirrors reference's save-failure tolerance
             print(f"Your filepath is invalid. Save has failed: {e}")
 
     def load_params(self, path: str):
         restored = ckpt.restore(path)
         self.init_params = restored["params"]
+
+    def resume(self, epoch: int, sample_batch):
+        """Epoch-resume (`in_loop_train.py:540-541,569-575`): restore params
+        AND optimizer state from the epoch-`epoch` checkpoints."""
+        name = ckpt.checkpoint_name(self.model_name, self.num_encoders,
+                                    self.dataset, self.run_id, epoch)
+        path = os.path.join(self.file_path, "models", self.model_name, name)
+        opt_path = os.path.join(self.file_path, "optimizers",
+                                self.model_name, name)
+        restored = ckpt.restore(path)
+        self.init_params = restored["params"]
+        self._init_state(sample_batch)
+        try:
+            opt = ckpt.restore(opt_path, target={
+                "opt_state": self.state.opt_state,
+                "step": int(self.state.step)})
+            self.state = self.state.replace(opt_state=opt["opt_state"],
+                                            step=opt["step"])
+        except Exception as e:
+            print(f"optimizer state not restored ({e}); fresh optimizer")

@@ -110,3 +110,17 @@ def test_eval_padding_excluded(tmp_path):
     _, _, metrics = trainer.evaluate(loader, "val")
     total = np.asarray(metrics["confusion"]).sum()
     assert total == 30  # padded rows never counted
+
+
+def test_resume_restores_optimizer_state(tmp_path):
+    trainer = make_trainer(tmp_path, epochs=2)
+    trainer.train()
+    saved_step = int(trainer.state.step)
+
+    trainer2 = make_trainer(tmp_path, epochs=1)
+    batch = next(iter(trainer2.train_loader))
+    trainer2.resume(2, batch)  # epochs=2 -> saved as epoch final+1 == 2
+    assert int(trainer2.state.step) == saved_step
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(trainer2.state.params)[0]),
+        np.asarray(jax.tree.leaves(trainer.state.params)[0]))
