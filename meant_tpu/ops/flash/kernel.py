@@ -138,35 +138,36 @@ def _flash_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
 
 def _bwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
                 q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale: float, causal: bool, use_mask: bool):
-    """Flash backward for one (batch*head): recompute P in VMEM, then
-    dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP - rowsum(P ∘ dP)) * scale;
-    dQr = dS Kr;  dKr = dSᵀ Qr;  un-rotate through the adjoint of the
-    (linear) rotation: rot(x) = x∘cos + H(x)∘sin  =>
-    rotᵀ(g) = cos∘g - H(sin∘g)   (H = rotate_half, Hᵀ = -H)."""
+                scale: float, causal: bool, use_mask: bool, block_q: int):
+    """Flash backward, q-blocked: grid (bh, q_blocks); recompute this
+    q-block's P in VMEM, then
+    dV += Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP - rowsum(P ∘ dP)) * scale;
+    dQ = rotᵀ(dS Kr);  dK += rotᵀ(dSᵀ Qr)
+    with rotᵀ(g) = cos∘g - H(sin∘g) (H = rotate_half, Hᵀ = -H — the adjoint
+    of the linear rotation). dk/dv output blocks are revisited across the
+    sequential q-block grid axis and accumulated (zeroed at j == 0)."""
+    j = pl.program_id(1)
     in_dtype = q_ref.dtype
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)                    # (block_q, d)
+    k = k_ref[0].astype(jnp.float32)                    # (s_k, d)
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
-    qc, qs_ = qcos_ref[:], qsin_ref[:]
-    kc, ks_ = kcos_ref[:], ksin_ref[:]
+    qc, qs_ = qcos_ref[:], qsin_ref[:]                  # (block_q, d)
+    kc, ks_ = kcos_ref[:], ksin_ref[:]                  # (s_k, d)
 
     qr = (q * qc + _rotate_half_lanes(q) * qs_).astype(in_dtype)
     kr = (k * kc + _rotate_half_lanes(k) * ks_).astype(in_dtype)
 
     scores = jax.lax.dot_general(
         qr, kr, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    s_q, s_k = scores.shape
-    neg = -jnp.inf
+        preferred_element_type=jnp.float32) * scale     # (block_q, s_k)
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
+            + j * block_q
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col <= row, scores, neg)
+        scores = jnp.where(col <= row, scores, -jnp.inf)
     if use_mask:
         scores = scores + (1.0 - kmask_ref[0]) * -1e9
-    p = jax.nn.softmax(scores, axis=-1)                 # (s_q, s_k) fp32
+    p = jax.nn.softmax(scores, axis=-1)                 # fp32
 
     p_lo = p.astype(in_dtype)
     dv = jax.lax.dot_general(p_lo, do_ref[0],
@@ -175,7 +176,7 @@ def _bwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
     dp = jax.lax.dot_general(do_ref[0], v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * scale).astype(in_dtype)    # (s_q, s_k)
+    ds = (p * (dp - delta) * scale).astype(in_dtype)    # (block_q, s_k)
 
     dqr = jax.lax.dot_general(ds, kr, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -184,44 +185,58 @@ def _bwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
     dq = qc * dqr - _rotate_half_lanes(qs_ * dqr)
     dk = kc * dkr - _rotate_half_lanes(ks_ * dkr)
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(j > 0)
+    def _():
+        dk_ref[0] = dk_ref[0] + dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv.astype(dv_ref.dtype)
 
 
 def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
-               num_heads, interpret):
-    """q/k/v/do: (BH, s, d). Full-sequence backward per (batch, head) —
-    everything fits in VMEM at MEANT sequence lengths."""
+               num_heads, block_q, interpret):
+    """q/k/v/do: (BH, s, d). q-blocked backward: K/V stay VMEM-resident per
+    (batch, head); dk/dv output blocks are revisited and accumulated across
+    the (sequential) q-block axis in fp32."""
     bh, s_q, d = q.shape
     s_k = k.shape[1]
+    block_q = min(block_q, s_q)
     use_mask = kmask is not None
     if kmask is None:
         kmask = jnp.ones((1, s_k), jnp.float32)
-        kmask_index = lambda i: (0, 0)
+        kmask_index = lambda i, j: (0, 0)
     else:
-        kmask_index = lambda i, h=num_heads: (i // h, 0)
+        kmask_index = lambda i, j, h=num_heads: (i // h, 0)
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                               use_mask=use_mask)
-    full = lambda rows: pl.BlockSpec((rows, d), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM)
-    per_bh = lambda rows: pl.BlockSpec((1, rows, d), lambda i: (i, 0, 0),
-                                       memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+                               use_mask=use_mask, block_q=block_q)
+    qtab = lambda: pl.BlockSpec((block_q, d), lambda i, j: (j, 0),
+                                memory_space=pltpu.VMEM)
+    ktab = lambda: pl.BlockSpec((s_k, d), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+    per_q = lambda: pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    per_k = lambda: pl.BlockSpec((1, s_k, d), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh, pl.cdiv(s_q, block_q)),
         in_specs=[
-            full(s_q), full(s_q),      # qcos, qsin
-            full(s_k), full(s_k),      # kcos, ksin
-            pl.BlockSpec((1, s_k), kmask_index,
-                         memory_space=pltpu.VMEM),
-            per_bh(s_q), per_bh(s_k), per_bh(s_k), per_bh(s_q),
+            qtab(), qtab(),            # qcos, qsin
+            ktab(), ktab(),            # kcos, ksin
+            pl.BlockSpec((1, s_k), kmask_index, memory_space=pltpu.VMEM),
+            per_q(), per_k(), per_k(), per_q(),
         ],
-        out_specs=(per_bh(s_q), per_bh(s_k), per_bh(s_k)),
+        out_specs=(per_q(), per_k(), per_k()),
         out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
-                   jax.ShapeDtypeStruct((bh, s_k, d), k.dtype),
-                   jax.ShapeDtypeStruct((bh, s_k, d), v.dtype)),
+                   jax.ShapeDtypeStruct((bh, s_k, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, s_k, d), jnp.float32)),
         interpret=interpret,
     )(qcos, qsin, kcos, ksin, kmask, q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _xla_reference(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
@@ -266,7 +281,7 @@ def _make_flash(scale: float, causal: bool, num_heads: int, block_q: int,
             q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
             v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d),
             kmask, qcos, qsin, kcos, ksin, scale=scale, causal=causal,
-            num_heads=num_heads, interpret=interpret)
+            num_heads=num_heads, block_q=block_q, interpret=interpret)
         zeros = lambda t: None if t is None else jnp.zeros_like(t)
         return (dq.reshape(b, h, s_q, d), dk.reshape(b, h, s_k, d),
                 dv.reshape(b, h, s_k, d), zeros(kmask),
