@@ -84,7 +84,9 @@ def model_inputs(model_name: str, batch: Dict[str, Any]) -> tuple:
         # (`in_loop_train.py:244,252`: tweets[:, 4, :]).
         return (batch["tweets"][:, -1],), {}
     if model_name == "meant_tweet_no_lag":
-        return (batch["tweets"],), {}
+        # single-day ablation: target day only (`in_loop_train.py:244`)
+        tw = batch["tweets"]
+        return ((tw[:, -1] if tw.ndim == 3 else tw),), {}
     if model_name == "meantPrice":
         return (batch["tweets"], batch["graphs"], batch["prices"]), {}
     if model_name == "meant_tweet_price":
