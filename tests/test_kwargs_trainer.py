@@ -49,3 +49,25 @@ def test_gradient_accumulation(tmp_path):
     tr = make_trainer(tmp_path, accumulation_steps=2)
     tr.train()
     assert np.isfinite(tr.history[-1]["train_loss"])
+
+
+def test_meant_mosi_trains(tmp_path):
+    from meant_tpu.models import meant_mosi
+    rng = np.random.RandomState(0)
+    n = 16
+    data = {
+        "input_ids": rng.randn(n, 50, 32).astype(np.float32),
+        "pixels": rng.randn(n, 50, 20).astype(np.float32),
+        "audio": rng.randn(n, 50, 130).astype(np.float32),
+        "audio_mask": np.ones((n, 50), np.float32),
+        "y": rng.randint(0, 2, size=n).astype(np.int32),
+    }
+    model = meant_mosi(text_dim=32, image_dim=32, lag=50, num_classes=2,
+                       embedding=None, num_heads=4, num_encoders=1)
+    tr = meant_trainer({
+        "model": model, "model_name": "meant_mosi", "dataset": "mosi",
+        "train_loader": ArrayLoader(data, 8), "epochs": 1,
+        "num_classes": 2, "file_path": str(tmp_path), "run_id": "71",
+        "lrst": "constant", "test_model": False})
+    tr.train()
+    assert np.isfinite(tr.history[-1]["train_loss"])
