@@ -1,0 +1,73 @@
+"""Batch inference / serving.
+
+The reference has no serving story beyond test loops; production deployment
+needs one: a Predictor that restores an orbax checkpoint, jits a fixed-shape
+forward (padding partial batches), and streams batches through the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from meant_tpu.parallel import batch_sharding, make_mesh, replicated
+from meant_tpu.train import checkpoint as ckpt
+from meant_tpu.train.classify import model_inputs
+
+
+class Predictor:
+    """predictor = Predictor(model, model_name, params=..., batch_size=32)
+    probs = predictor(batch_dict)  # arrays with leading dim N (any size)
+    """
+
+    def __init__(self, model, model_name: str, params=None,
+                 checkpoint_path: Optional[str] = None, batch_size: int = 32,
+                 mesh=None):
+        if params is None:
+            if checkpoint_path is None:
+                raise ValueError("need params or checkpoint_path")
+            params = ckpt.restore(checkpoint_path)["params"]
+        self.model = model
+        self.model_name = model_name
+        self.batch_size = batch_size
+        self.mesh = mesh or make_mesh()
+        self.params = jax.device_put(params, replicated(self.mesh))
+
+        def forward(p, batch):
+            args, kwargs = model_inputs(model_name, batch)
+            return model.apply({"params": p}, *args, **kwargs,
+                               deterministic=True)
+
+        self._jit_forward = jax.jit(forward,
+                                    out_shardings=replicated(self.mesh))
+
+    def _device_batch(self, batch: Dict[str, Any]):
+        sharding = batch_sharding(self.mesh)
+        out = {}
+        for k, v in batch.items():
+            arr = jnp.asarray(v)
+            if k in ("tweets", "input_ids") and \
+                    jnp.issubdtype(arr.dtype, jnp.integer):
+                arr = arr.astype(jnp.int32)
+            out[k] = jax.device_put(arr, sharding)
+        return out
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        n = len(next(iter(batch.values())))
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            chunk = {k: v[start:start + bs] for k, v in batch.items()}
+            pad = bs - len(next(iter(chunk.values())))
+            if pad:
+                chunk = {k: np.concatenate(
+                    [v, np.repeat(v[:1], pad, axis=0)], axis=0)
+                    for k, v in chunk.items()}
+            out = self._jit_forward(self.params, self._device_batch(chunk))
+            out = np.asarray(out)
+            outs.append(out[: bs - pad] if pad else out)
+        return np.concatenate(outs, axis=0)
