@@ -46,7 +46,10 @@ class Predictor:
                                     out_shardings=replicated(self.mesh))
 
     def _device_batch(self, batch: Dict[str, Any]):
-        sharding = batch_sharding(self.mesh)
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        divisible = self.batch_size % n_dev == 0
+        sharding = batch_sharding(self.mesh) if divisible \
+            else replicated(self.mesh)
         out = {}
         for k, v in batch.items():
             arr = jnp.asarray(v)
