@@ -212,3 +212,51 @@ def import_hf_roberta(sd: Mapping, num_layers: int, num_heads: int = 12,
             "bias": _t(sd[f"{p}pooler.dense.bias"]),
         }
     return params
+
+
+def _slim_temporal_params(sd: Mapping, prefix: str) -> Dict:
+    """slim temporalEncoder (`meant/meant_vision.py:81-106`): temp_embedding +
+    [Linear, temporal, Linear] (norms commented out => indices 0,1,2)."""
+    return {
+        "temp_embedding": _t(sd[f"{prefix}.temp_embedding"]),
+        "proj_in": linear_params(sd, f"{prefix}.temp_encode.0"),
+        "temporal": attention_params(sd, f"{prefix}.temp_encode.1",
+                                     swap_kv=True),
+        "proj_out": linear_params(sd, f"{prefix}.temp_encode.2"),
+    }
+
+
+def import_meant_vision(sd: Mapping, num_encoders: int) -> Dict:
+    """`meant/meant_vision.py` state_dict -> meant_vision params."""
+    params = {
+        "patchEmbed": linear_params(sd, "patchEmbed.1"),
+        "temporal_encoding_0": _slim_temporal_params(sd,
+                                                     "temporal_encoding.0"),
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"visionEncoders_{i}"] = encoder_params(
+            sd, f"visionEncoders.{i}", norm="rms",
+            xpos_prefix=f"visionEncoders.{i}.posEmbed")
+    return params
+
+
+def import_meant_tweet_no_lag(sd: Mapping, num_encoders: int) -> Dict:
+    """`meant/meant_tweet_no_lag.py` state_dict -> meant_tweet_no_lag params
+    (LayerNorm encoder generation, cls token, LayerNorm head)."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "txt_classtkn": _t(sd["txt_classtkn"]).reshape(1, 1, -1),
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="layer",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+    return params
