@@ -260,3 +260,50 @@ def import_meant_tweet_no_lag(sd: Mapping, num_encoders: int) -> Dict:
             sd, f"languageEncoders.{i}", norm="layer",
             xpos_prefix=f"languageEncoders.{i}.xPos")
     return params
+
+
+def _seq_projection_params(sd: Mapping, prefix: str) -> Dict:
+    """lang_proj/image_proj Sequential(Linear, LayerNorm(1), GELU)
+    (`src/meant/meant.py:250-259`)."""
+    return {
+        "proj": linear_params(sd, f"{prefix}.0"),
+        "norm": {"scale": _t(sd[f"{prefix}.1.weight"]),
+                 "offset": _t(sd[f"{prefix}.1.bias"])},
+    }
+
+
+def import_meant_src(sd: Mapping, num_encoders: int) -> Dict:
+    """src-era `meant` (`src/meant/meant.py:197-311`) state_dict ->
+    meant_src params. LayerNorm encoders with RMSNorm ff-norm2; the src
+    temporal uses the STRAIGHT q/k/v order (`src/meant/temporal.py:44-46` —
+    no swap) and separate projections."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "patchEmbed": linear_params(sd, "patchEmbed.1"),
+        "lang_proj": _seq_projection_params(sd, "lang_proj"),
+        "image_proj": _seq_projection_params(sd, "image_proj"),
+        "temporal_encoding_0": {
+            "norm1": norm_params(sd, "temporal_encoding.0.temp_encode.0",
+                                 "layer"),
+            "proj_in": linear_params(sd,
+                                     "temporal_encoding.0.temp_encode.1"),
+            "temporal": attention_params(
+                sd, "temporal_encoding.0.temp_encode.2", swap_kv=False),
+            "norm2": norm_params(sd, "temporal_encoding.0.temp_encode.3",
+                                 "layer"),
+            "proj_out": linear_params(sd,
+                                      "temporal_encoding.0.temp_encode.4"),
+        },
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="layer", ff_norm2="rms",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+        params[f"visionEncoders_{i}"] = encoder_params(
+            sd, f"visionEncoders.{i}", norm="layer", ff_norm2="rms",
+            xpos_prefix=f"visionEncoders.{i}.posEmbed")
+    return params

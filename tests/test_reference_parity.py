@@ -209,3 +209,66 @@ def test_true_reference_meant_tweet_no_lag_parity():
                                  jnp.asarray(tweets.astype(np.int32))))
     diff = np.abs(out - ref_out).max()
     assert diff <= 1e-3, f"no_lag reference parity violated: {diff}"
+
+
+def test_true_reference_meant_src_parity():
+    """src-era meant (the TempStockLarge benchmark model) — the reference's
+    `.half()` cast before the temporal stage is patched to identity (CPU
+    torch can't mix fp16/fp32 modules the way CUDA autocast did); the TPU
+    model runs fp32, so the comparison covers everything but that cast."""
+    _install_stubs()
+    import src.meant.meant as ref_mod
+
+    from transformers.models.roberta.modeling_roberta import \
+        RobertaEmbeddings
+    from transformers import RobertaConfig
+    torch.manual_seed(3)
+    cfg = RobertaConfig(vocab_size=100, hidden_size=768,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0,
+                        layer_norm_eps=1e-5)
+    # the reference hard-codes image_proj = Linear(196, 1)
+    # (`src/meant/meant.py:259`) so images must be 224x224/patch16
+    ref = ref_mod.meant(text_dim=768, image_dim=768, price_dim=5, height=224,
+                        width=224, patch_res=16, lag=5, num_classes=2,
+                        embedding=RobertaEmbeddings(cfg), flash=False,
+                        num_heads=8, num_encoders=1, channels=3,
+                        seq_len=32).eval()
+
+    rng = np.random.RandomState(3)
+    b, lag, s = 2, 5, 16
+    batch = {
+        "input_ids": torch.tensor(
+            rng.randint(2, 100, size=(b, lag, s)).astype(np.int64)),
+        "pixels": torch.tensor(
+            (rng.randn(b, lag, 3, 224, 224) * 0.5).astype(np.float32)),
+        "prices": torch.tensor(rng.randn(b, lag, 5).astype(np.float32)),
+        "attention_mask": torch.ones(b, lag, s),
+    }
+    orig_half = torch.Tensor.half
+    torch.Tensor.half = lambda self: self
+    try:
+        with torch.no_grad():
+            ref_out = ref.forward(**batch).numpy()
+    finally:
+        torch.Tensor.half = orig_half
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig, meant_src
+    from meant_tpu.utils import port
+    params = port.import_meant_src(dict(ref.state_dict()), num_encoders=1)
+    model = meant_src(text_dim=768, image_dim=768, price_dim=5, height=224,
+                      width=224, patch_res=16, lag=5, num_classes=2,
+                      embedding=EmbeddingConfig(
+                          vocab_size=100, hidden_size=768,
+                          max_position_embeddings=40, dropout=0.0),
+                      num_heads=8, num_encoders=1, channels=3, seq_len=32)
+    out = np.asarray(model.apply(
+        {"params": params},
+        input_ids=jnp.asarray(np.asarray(batch["input_ids"], np.int32)),
+        pixels=jnp.asarray(np.asarray(batch["pixels"])),
+        prices=jnp.asarray(np.asarray(batch["prices"])),
+        attention_mask=jnp.asarray(np.asarray(batch["attention_mask"],
+                                              np.float32))))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"meant_src reference parity violated: {diff}"
