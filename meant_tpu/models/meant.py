@@ -89,6 +89,7 @@ class meant(nn.Module):
     num_heads: int = 8
     num_encoders: int = 1
     channels: int = 4
+    remat: bool = False   # rematerialize encoder blocks (long-seq memory)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -96,16 +97,20 @@ class meant(nn.Module):
                  deterministic: bool = True):
         b = images.shape[0]
         lag, s = tweets.shape[1], tweets.shape[2]
+        LangEnc = (nn.remat(LanguageEncoder, static_argnums=(3,))
+                   if self.remat else LanguageEncoder)
+        VisEnc = (nn.remat(VisionEncoder, static_argnums=(2,))
+                  if self.remat else VisionEncoder)
         words = tweets.reshape(b * lag, s)
         words = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
         if attention_mask is not None:
             attention_mask = attention_mask.reshape(b * lag, s)
         for i in range(self.num_encoders):
-            words = LanguageEncoder(
+            words = LangEnc(
                 self.text_dim, self.num_heads, flash=self.flash,
                 dtype=self.dtype, name=f"languageEncoders_{i}")(
-                    words, attention_mask, deterministic=deterministic)
+                    words, attention_mask, deterministic)
         words = words.reshape(b, lag, s, self.text_dim)
 
         imgs = images.reshape(b * lag, *images.shape[2:])
@@ -114,10 +119,10 @@ class meant(nn.Module):
         imgs = Linear(self.image_dim, patch_dim, dtype=self.dtype,
                       name="patchEmbed")(imgs)
         for i in range(self.num_encoders):
-            imgs = VisionEncoder(
+            imgs = VisEnc(
                 self.image_dim, self.num_heads, flash=self.flash,
                 dtype=self.dtype, name=f"visionEncoders_{i}")(
-                    imgs, deterministic=deterministic)
+                    imgs, deterministic)
         n = imgs.shape[1]
         imgs = imgs.reshape(b, lag, n, self.image_dim)
 

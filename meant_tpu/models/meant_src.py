@@ -71,6 +71,7 @@ class meant_src(nn.Module):
     channels: int = 3
     seq_len: int = 512
     fixed_proj: bool = False
+    remat: bool = False   # rematerialize encoder blocks (long-seq memory)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -79,17 +80,21 @@ class meant_src(nn.Module):
                  **_):
         b = pixels.shape[0]
         lag, s = input_ids.shape[1], input_ids.shape[2]
+        LangEnc = (nn.remat(LanguageEncoder, static_argnums=(3,))
+                   if self.remat else LanguageEncoder)
+        VisEnc = (nn.remat(VisionEncoder, static_argnums=(2,))
+                  if self.remat else VisionEncoder)
         words = input_ids.reshape(b * lag, s)
         words = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
         if attention_mask is not None:
             attention_mask = attention_mask.reshape(b * lag, s)
         for i in range(self.num_encoders):
-            words = LanguageEncoder(
+            words = LangEnc(
                 self.text_dim, self.num_heads, norm="layer", ff_norm2="rms",
                 init_style="xavier", flash=self.flash, dtype=self.dtype,
                 name=f"languageEncoders_{i}")(
-                    words, attention_mask, deterministic=deterministic)
+                    words, attention_mask, deterministic)
         # (b*l, s, d) -> (b, l, d, s), zero-pad seq to seq_len
         words = words.reshape(b, lag, s, self.text_dim).transpose(0, 1, 3, 2)
         if s < self.seq_len:
@@ -104,11 +109,10 @@ class meant_src(nn.Module):
         imgs = Linear(self.image_dim, patch_dim, init_style="torch",
                       dtype=self.dtype, name="patchEmbed")(imgs)
         for i in range(self.num_encoders):
-            imgs = VisionEncoder(
+            imgs = VisEnc(
                 self.image_dim, self.num_heads, norm="layer", ff_norm2="rms",
                 init_style="xavier", flash=self.flash, dtype=self.dtype,
-                name=f"visionEncoders_{i}")(imgs,
-                                            deterministic=deterministic)
+                name=f"visionEncoders_{i}")(imgs, deterministic)
         n = imgs.shape[1]
         imgs = imgs.reshape(b, lag, n, self.image_dim).transpose(0, 1, 3, 2)
         imgs = SeqProjection(n, fixed=self.fixed_proj, dtype=self.dtype,
