@@ -79,8 +79,11 @@ def base_parser() -> argparse.ArgumentParser:
                         "synthetic data when omitted (smoke runs)")
     p.add_argument("--bf16", type=str2bool, nargs="?", const=True,
                    default=True, help="bf16 activations (fp32 params)")
-    p.add_argument("--flash", type=str2bool, nargs="?", const=False,
-                   default=False, help="Pallas flash-attention kernels")
+    p.add_argument("--flash", type=str, nargs="?", const="auto",
+                   default="auto",
+                   help="Pallas flash-attention kernels: true/false/auto "
+                        "(auto = on for seq_len >= 256, where the kernel "
+                        "beats XLA and avoids the fp32-probs HBM blowup)")
     p.add_argument("--track", type=str2bool, nargs="?", const=False,
                    default=False)
     p.add_argument("--synthetic_n", type=int, default=64,
@@ -128,6 +131,12 @@ def build_model(args, emb_cfg=None):
                                   meant_tweet_no_lag, meant_vision,
                                   meant_vqa, mlpEncoder, LSTMEncoder)
 
+    # seq-length-aware flash dispatch (see README throughput matrix)
+    if isinstance(args.flash, str):
+        if args.flash.lower() in ("auto",):
+            args.flash = args.seq_len >= 256
+        else:
+            args.flash = args.flash.lower() in ("yes", "true", "t", "y", "1")
     td, imd = args.text_dim, args.image_dim
     emb = emb_cfg or EmbeddingConfig(vocab_size=args.vocab_size,
                                      hidden_size=td)
