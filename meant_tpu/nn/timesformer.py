@@ -20,6 +20,12 @@ TPU layout: the einops regroupings are pure reshape/transposes that XLA
 fuses into the surrounding matmuls; attention runs per group with lag folded
 into the batch axis, so the MXU sees large batched matmuls.
 
+Kernel dispatch note: the divided attentions run tiny per-group sequences
+(time: f=lag=5; space: n=196 patches at dim_head 64) — measured on v5e, the
+Pallas flash kernel only beats XLA's fused attention from s≈256 upward
+(README throughput matrix), so these stay on the XLA path by design; the
+blockwise kernel in ops/flash is available for long-video configurations.
+
 Video masking (uneven frame counts) is not used by any MEANT call site
 (`meant_forward(images)` is always called mask-less) and is not implemented.
 """
