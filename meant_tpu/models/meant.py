@@ -90,6 +90,9 @@ class meant(nn.Module):
     num_encoders: int = 1
     channels: int = 4
     remat: bool = False   # rematerialize encoder blocks (long-seq memory)
+    # reference languageEncoder.encode2 uses nn.Dropout() == p=0.5
+    # (`meant/meant.py:107`, DEFECTS #22); 0.0 disables it (fixed mode)
+    ff_dropout: float = 0.5
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -109,6 +112,7 @@ class meant(nn.Module):
         for i in range(self.num_encoders):
             words = LangEnc(
                 self.text_dim, self.num_heads, flash=self.flash,
+                ff_dropout=self.ff_dropout,
                 dtype=self.dtype, name=f"languageEncoders_{i}")(
                     words, attention_mask, deterministic)
         words = words.reshape(b, lag, s, self.text_dim)
@@ -190,6 +194,7 @@ class meant_tweet(nn.Module):
     num_heads: int = 8
     num_encoders: int = 1
     channels: int = 4
+    ff_dropout: float = 0.5   # reference nn.Dropout() default (DEFECTS #22)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -203,6 +208,7 @@ class meant_tweet(nn.Module):
         for i in range(self.num_encoders):
             words = LanguageEncoder(
                 self.text_dim, self.num_heads, flash=self.flash,
+                ff_dropout=self.ff_dropout,
                 dtype=self.dtype, name=f"languageEncoders_{i}")(
                     words, attention_mask, deterministic=deterministic)
         words = words.reshape(b, lag, s, self.text_dim)
