@@ -307,3 +307,26 @@ def import_meant_src(sd: Mapping, num_encoders: int) -> Dict:
             sd, f"visionEncoders.{i}", norm="layer", ff_norm2="rms",
             xpos_prefix=f"visionEncoders.{i}.posEmbed")
     return params
+
+
+def import_meant_vqa(sd: Mapping, num_encoders: int) -> Dict:
+    """`meant/meant_vqa.py` state_dict -> meant_vqa params (RMSNorm
+    generation; the reference's constructed-but-unused multimodal_embedding /
+    multimodal_encoding blocks are skipped — they are dead in its forward,
+    `meant/meant_vqa.py:221-228`)."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "patchEmbed": linear_params(sd, "patchEmbed.1"),
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "rms"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="rms",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+        params[f"visionEncoders_{i}"] = encoder_params(
+            sd, f"visionEncoders.{i}", norm="rms",
+            xpos_prefix=f"visionEncoders.{i}.posEmbed")
+    return params

@@ -272,3 +272,45 @@ def test_true_reference_meant_src_parity():
                                               np.float32))))
     diff = np.abs(out - ref_out).max()
     assert diff <= 1e-3, f"meant_src reference parity violated: {diff}"
+
+
+def test_true_reference_meant_vqa_parity():
+    _install_stubs()
+    from meant.meant_vqa import meant_vqa as ref_model
+
+    from transformers.models.roberta.modeling_roberta import \
+        RobertaEmbeddings
+    from transformers import RobertaConfig
+    torch.manual_seed(4)
+    cfg = RobertaConfig(vocab_size=100, hidden_size=768,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0,
+                        layer_norm_eps=1e-5)
+    ref = ref_model(text_dim=768, image_dim=768, price_dim=4, height=64,
+                    width=64, patch_res=16, lag=1, num_classes=7,
+                    embedding=RobertaEmbeddings(cfg), flash=False,
+                    num_heads=8, num_encoders=1, channels=4).eval()
+    rng = np.random.RandomState(4)
+    tweets = rng.randint(2, 100, size=(2, 16)).astype(np.int64)
+    images = (rng.randn(2, 4, 64, 64) * 0.5).astype(np.float32)
+    mask = np.ones((2, 16), np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(tweets), torch.tensor(images),
+                      torch.tensor(mask)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig
+    from meant_tpu.models import meant_vqa as tpu_model
+    from meant_tpu.utils import port
+    params = port.import_meant_vqa(dict(ref.state_dict()), num_encoders=1)
+    model = tpu_model(text_dim=768, image_dim=768, price_dim=4, height=64,
+                      width=64, patch_res=16, lag=1, num_classes=7,
+                      embedding=EmbeddingConfig(
+                          vocab_size=100, hidden_size=768,
+                          max_position_embeddings=40, dropout=0.0),
+                      num_heads=8, num_encoders=1, channels=4)
+    out = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(tweets.astype(np.int32)),
+                                 jnp.asarray(images), jnp.asarray(mask)))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"meant_vqa reference parity violated: {diff}"
