@@ -40,6 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from meant_tpu.ops.attention import attend
 
 DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 512
+# K/V stay VMEM-resident below this length (single-pass softmax — strictly
+# cheaper); above it the online-softmax k-blocked kernel streams K/V.
+K_RESIDENT_LIMIT = 4096
 
 
 def _rotate_half_lanes(x):
@@ -89,6 +93,110 @@ def _fwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
         weights, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fwd_online_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
+                       q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                       scale: float, causal: bool, block_q: int,
+                       block_k: int, use_mask: bool):
+    """Online-softmax streaming variant: grid (bh, q_blocks, k_blocks) with
+    the k axis innermost (sequential on TPU); running max/denominator/acc in
+    VMEM scratch, output written on the last k block."""
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    in_dtype = q_ref.dtype
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    qr = (q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]) \
+        .astype(in_dtype)
+    kr = (k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]) \
+        .astype(in_dtype)
+    scores = jax.lax.dot_general(
+        qr, kr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (block_q, block_k)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
+            + j * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+            + kk * block_k
+        scores = jnp.where(col <= row, scores, -jnp.inf)
+    if use_mask:
+        scores = scores + (1.0 - kmask_ref[0]) * -1e9
+
+    m_prev = m_ref[:]                                  # (block_q, 1)
+    m_new = jnp.maximum(m_prev,
+                        jnp.max(scores, axis=-1, keepdims=True))
+    # guard fully-masked rows (all -inf so far)
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(jnp.isfinite(scores), p, 0.0)
+    corr = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(in_dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def _flash_fwd_online(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale,
+                      causal, num_heads, block_q, block_k, interpret):
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    block_q = min(block_q, s_q)
+    block_k = min(block_k, s_k)
+    use_mask = kmask is not None
+    if kmask is None:
+        kmask = jnp.ones((1, s_k), jnp.float32)
+        kmask_index = lambda i, j, kk: (0, 0)
+    else:
+        kmask_index = lambda i, j, kk, h=num_heads: (i // h, kk)
+    kernel = functools.partial(_fwd_online_kernel, scale=scale,
+                               causal=causal, block_q=block_q,
+                               block_k=block_k, use_mask=use_mask)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, pl.cdiv(s_q, block_q), pl.cdiv(s_k, block_k)),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j, kk: (j, 0),
+                         memory_space=pltpu.VMEM),            # qcos
+            pl.BlockSpec((block_q, d), lambda i, j, kk: (j, 0),
+                         memory_space=pltpu.VMEM),            # qsin
+            pl.BlockSpec((block_k, d), lambda i, j, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),            # kcos
+            pl.BlockSpec((block_k, d), lambda i, j, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),            # ksin
+            pl.BlockSpec((1, block_k), kmask_index,
+                         memory_space=pltpu.VMEM),            # kmask
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),            # q
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),            # k
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),            # v
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),   # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running denom
+        ],
+        interpret=interpret,
+    )(qcos, qsin, kcos, ksin, kmask, q, k, v)
 
 
 def _flash_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
@@ -257,16 +365,19 @@ def _xla_reference(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
 
 @functools.lru_cache(maxsize=64)
 def _make_flash(scale: float, causal: bool, num_heads: int, block_q: int,
-                interpret: bool):
+                interpret: bool, online: bool = False,
+                block_k: int = DEFAULT_BLOCK_K):
     @jax.custom_vjp
     def f(q, k, v, kmask, qcos, qsin, kcos, ksin):
         b, h, s_q, d = q.shape
-        out = _flash_fwd(q.reshape(b * h, s_q, d),
-                         k.reshape(b * h, k.shape[2], d),
-                         v.reshape(b * h, v.shape[2], d),
-                         kmask, qcos, qsin, kcos, ksin, scale=scale,
-                         causal=causal, num_heads=num_heads, block_q=block_q,
-                         interpret=interpret)
+        fwd_fn = (functools.partial(_flash_fwd_online, block_k=block_k)
+                  if online else _flash_fwd)
+        out = fwd_fn(q.reshape(b * h, s_q, d),
+                     k.reshape(b * h, k.shape[2], d),
+                     v.reshape(b * h, v.shape[2], d),
+                     kmask, qcos, qsin, kcos, ksin, scale=scale,
+                     causal=causal, num_heads=num_heads, block_q=block_q,
+                     interpret=interpret)
         return out.reshape(b, h, s_q, d)
 
     def fwd(q, k, v, kmask, qcos, qsin, kcos, ksin):
@@ -296,9 +407,12 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
               attention_mask: Optional[jnp.ndarray] = None,
               qcos=None, qsin=None, kcos=None, ksin=None,
               block_q: int = DEFAULT_BLOCK_Q,
+              block_k: int = DEFAULT_BLOCK_K,
+              force_online: Optional[bool] = None,
               interpret: Optional[bool] = None):
     """Fused rotary + attention. q/k/v: (b, h, s, d). The four tables are
-    (s, d) fp32 (identity rotation when None)."""
+    (s, d) fp32 (identity rotation when None). K/V stream blockwise with an
+    online softmax when s_k > K_RESIDENT_LIMIT (or force_online=True)."""
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if qcos is None:
@@ -312,6 +426,9 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
     kmask = None
     if attention_mask is not None:
         kmask = attention_mask.astype(jnp.float32)
+    online = (force_online if force_online is not None
+              else s_k > K_RESIDENT_LIMIT)
     fn = _make_flash(float(scale), bool(causal), h, int(block_q),
-                     bool(interpret))
+                     bool(interpret), online=bool(online),
+                     block_k=int(block_k))
     return fn(q, k, v, kmask, qcos, qsin, kcos, ksin)

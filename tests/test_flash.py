@@ -109,3 +109,43 @@ class TestFlashKernel:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+class TestOnlineSoftmaxKernel:
+    """k-blocked streaming forward (online softmax) — exercised with small
+    block_k so the accumulation crosses many k blocks."""
+
+    def test_online_matches_resident(self):
+        from meant_tpu.ops.flash.kernel import flash_mha
+        rng = np.random.RandomState(10)
+        b, h, s, d = 2, 4, 256, 64
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * 0.5)
+                   for _ in range(3))
+        scale = 1.0 / np.sqrt(d)
+        ref = flash_mha(q, k, v, scale=scale, causal=True,
+                        force_online=False)
+        out = flash_mha(q, k, v, scale=scale, causal=True,
+                        force_online=True, block_k=64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_online_with_rotation_and_mask(self):
+        from meant_tpu.ops.flash.kernel import flash_mha
+        from meant_tpu.ops.flash.flash_attention import _tables
+        rng = np.random.RandomState(11)
+        b, h, s, d = 2, 2, 192, 96
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * 0.5)
+                   for _ in range(3))
+        freqs = ops.lang_freqs(48)
+        qcos, qsin, kcos, ksin = _tables(s, d, freqs, xpos=True,
+                                         scale_base=512.0)
+        mask = np.ones((b, s), np.float32)
+        mask[0, 150:] = 0
+        scale = 1.0 / np.sqrt(d * h)
+        args = dict(scale=scale, causal=True,
+                    attention_mask=jnp.asarray(mask),
+                    qcos=qcos, qsin=qsin, kcos=kcos, ksin=ksin)
+        ref = flash_mha(q, k, v, force_online=False, **args)
+        out = flash_mha(q, k, v, force_online=True, block_k=64, **args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
