@@ -113,37 +113,45 @@ def _fwd_online_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    qr = (q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]) \
-        .astype(in_dtype)
-    kr = (k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]) \
-        .astype(in_dtype)
-    scores = jax.lax.dot_general(
-        qr, kr, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # (block_q, block_k)
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
-            + j * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
-            + kk * block_k
-        scores = jnp.where(col <= row, scores, -jnp.inf)
-    if use_mask:
-        scores = scores + (1.0 - kmask_ref[0]) * -1e9
+    # causal block skipping: a k block whose first column lies beyond the
+    # q block's last row contributes nothing — predicate the whole update.
+    def body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        qr = (q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]) \
+            .astype(in_dtype)
+        kr = (k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]) \
+            .astype(in_dtype)
+        scores = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (block_q, block_k)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
+                + j * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                + kk * block_k
+            scores = jnp.where(col <= row, scores, -jnp.inf)
+        if use_mask:
+            scores = scores + (1.0 - kmask_ref[0]) * -1e9
 
-    m_prev = m_ref[:]                                  # (block_q, 1)
-    m_new = jnp.maximum(m_prev,
-                        jnp.max(scores, axis=-1, keepdims=True))
-    # guard fully-masked rows (all -inf so far)
-    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-    p = jnp.exp(scores - m_safe)
-    p = jnp.where(jnp.isfinite(scores), p, 0.0)
-    corr = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
-    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-        p.astype(in_dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
+        m_prev = m_ref[:]                                  # (block_q, 1)
+        m_new = jnp.maximum(m_prev,
+                            jnp.max(scores, axis=-1, keepdims=True))
+        # guard fully-masked rows (all -inf so far)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(scores - m_safe)
+        p = jnp.where(jnp.isfinite(scores), p, 0.0)
+        corr = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            p.astype(in_dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    if causal:
+        pl.when(kk * block_k <= j * block_q + block_q - 1)(body)
+    else:
+        body()
 
     @pl.when(kk == n_k - 1)
     def _():
