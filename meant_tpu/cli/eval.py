@@ -11,7 +11,6 @@ from meant_tpu.data import ArrayLoader, load_tempstock_small, split_arrays, \
     synthetic_tempstock
 from meant_tpu.parallel import make_mesh
 from meant_tpu.train import meant_trainer
-from meant_tpu.train import checkpoint as ckpt
 
 
 def main(argv=None):

@@ -12,12 +12,7 @@ the fresh model (`in_loop_train.py:496-507` workflow).
 
 from __future__ import annotations
 
-import sys
 import time
-
-import numpy as np
-
-import jax.numpy as jnp
 
 from meant_tpu.cli.common import base_parser, build_model
 from meant_tpu.data import (ArrayLoader, load_tempstock_small, split_arrays,

@@ -10,7 +10,6 @@ import time
 
 import numpy as np
 
-from meant_tpu.cli.common import base_parser, build_model  # noqa: F401
 from meant_tpu.cli.common import base_parser
 from meant_tpu.data import ArrayLoader, hash_tokenize
 from meant_tpu.data.masking import mask_tokens

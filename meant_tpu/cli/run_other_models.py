@@ -5,9 +5,6 @@ AMP loop + metrics (`run_other_models.py:59-105,247-249`)."""
 
 from __future__ import annotations
 
-import time
-
-from meant_tpu.cli.common import base_parser, build_model
 from meant_tpu.cli.in_loop_train import main as _main
 
 

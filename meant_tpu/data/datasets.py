@@ -21,7 +21,7 @@ Reference behavior preserved:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ padding never contaminates metrics (replaces the reference's per-step
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

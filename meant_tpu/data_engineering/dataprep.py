@@ -8,7 +8,6 @@ tokenizer otherwise (no-egress environments).
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -10,7 +10,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Iterable, Optional
+from typing import Iterable
 
 
 def scrape_tweets(ticker: str, dates: Iterable[str], out_dir: str,

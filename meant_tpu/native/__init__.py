@@ -11,7 +11,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 from typing import List, Optional
 
 import numpy as np

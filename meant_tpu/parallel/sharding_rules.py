@@ -13,7 +13,7 @@ hand-written collectives.
 from __future__ import annotations
 
 import re
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

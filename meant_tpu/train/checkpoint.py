@@ -17,7 +17,7 @@ functional.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import orbax.checkpoint as ocp

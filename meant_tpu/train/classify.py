@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import numpy as np
