@@ -71,3 +71,28 @@ def test_meant_mosi_trains(tmp_path):
         "lrst": "constant", "test_model": False})
     tr.train()
     assert np.isfinite(tr.history[-1]["train_loss"])
+
+
+def test_meant_timesformer_trains(tmp_path):
+    from meant_tpu.models import meant_timesformer
+    rng = np.random.RandomState(0)
+    n = 16
+    data = {
+        "input_ids": rng.randint(2, 64, size=(n, LAG, S)).astype(np.int32),
+        "pixels": rng.randn(n, LAG, 3, 32, 32).astype(np.float32),
+        "prices": rng.randn(n, LAG, 5).astype(np.float32),
+        "attention_mask": np.ones((n, LAG, S), np.float32),
+        "y": rng.randint(0, 2, size=n).astype(np.int32),
+    }
+    model = meant_timesformer(text_dim=32, image_dim=32, price_dim=5,
+                              height=32, width=32, patch_res=16, lag=LAG,
+                              num_classes=2, embedding=TINY_EMB, num_heads=4,
+                              num_encoders=1, channels=3, seq_len=S)
+    tr = meant_trainer({
+        "model": model, "model_name": "meant_timesformer",
+        "dataset": "TempStockLarge",
+        "train_loader": ArrayLoader(data, 8), "epochs": 1,
+        "num_classes": 2, "file_path": str(tmp_path), "run_id": "72",
+        "lrst": "constant", "test_model": False})
+    tr.train()
+    assert np.isfinite(tr.history[-1]["train_loss"])
