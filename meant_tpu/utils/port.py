@@ -330,3 +330,53 @@ def import_meant_vqa(sd: Mapping, num_encoders: int) -> Dict:
             sd, f"visionEncoders.{i}", norm="rms",
             xpos_prefix=f"visionEncoders.{i}.posEmbed")
     return params
+
+
+def import_timesformer(sd: Mapping, depth: int, prefix: str = "") -> Dict:
+    """Phil-Wang TimeSformer (`src/meant/timesformer_pytorch.py:150-265`)
+    state_dict -> meant_tpu.nn.timesformer.TimeSformer params.
+    Layer layout: layers.{i}.{0,1,2} = PreNorm(time_attn / spatial_attn / ff)
+    with .norm + .fn (Attention: to_qkv bias-free, to_out.0; FeedForward:
+    net.0 / net.3)."""
+    p = prefix
+    params = {
+        "to_patch_embedding": {
+            "kernel": _t(sd[f"{p}to_patch_embedding.weight"]).T,
+            "bias": _t(sd[f"{p}to_patch_embedding.bias"]),
+        },
+        "cls_token": _t(sd[f"{p}cls_token"]),
+    }
+    for i in range(depth):
+        for slot, norm_name, attn_name in ((0, f"time_norm_{i}",
+                                            f"time_attn_{i}"),
+                                           (1, f"space_norm_{i}",
+                                            f"space_attn_{i}")):
+            base = f"{p}layers.{i}.{slot}"
+            params[norm_name] = {
+                "scale": _t(sd[f"{base}.norm.weight"]),
+                "bias": _t(sd[f"{base}.norm.bias"]),
+            }
+            params[attn_name] = {
+                "to_qkv": {"kernel": _t(sd[f"{base}.fn.to_qkv.weight"]).T},
+                "to_out": {
+                    "kernel": _t(sd[f"{base}.fn.to_out.0.weight"]).T,
+                    "bias": _t(sd[f"{base}.fn.to_out.0.bias"]),
+                },
+            }
+        base = f"{p}layers.{i}.2"
+        params[f"ff_norm_{i}"] = {
+            "scale": _t(sd[f"{base}.norm.weight"]),
+            "bias": _t(sd[f"{base}.norm.bias"]),
+        }
+        params[f"ff_{i}"] = {
+            "proj_in": {"kernel": _t(sd[f"{base}.fn.net.0.weight"]).T,
+                        "bias": _t(sd[f"{base}.fn.net.0.bias"])},
+            "proj_out": {"kernel": _t(sd[f"{base}.fn.net.3.weight"]).T,
+                         "bias": _t(sd[f"{base}.fn.net.3.bias"])},
+        }
+    if f"{p}to_out.0.weight" in sd:
+        params["out_norm"] = {"scale": _t(sd[f"{p}to_out.0.weight"]),
+                              "bias": _t(sd[f"{p}to_out.0.bias"])}
+        params["out_proj"] = {"kernel": _t(sd[f"{p}to_out.1.weight"]).T,
+                              "bias": _t(sd[f"{p}to_out.1.bias"])}
+    return params

@@ -314,3 +314,38 @@ def test_true_reference_meant_vqa_parity():
                                  jnp.asarray(images), jnp.asarray(mask)))
     diff = np.abs(out - ref_out).max()
     assert diff <= 1e-3, f"meant_vqa reference parity violated: {diff}"
+
+
+def test_true_reference_timesformer_parity():
+    """The divided space-time attention verified against the REAL reference
+    TimeSformer (`src/meant/timesformer_pytorch.py`): full token sequence
+    (meant_forward) and classification logits at ported weights."""
+    _install_stubs()
+    from src.meant.timesformer_pytorch import TimeSformer as RefTS
+
+    torch.manual_seed(5)
+    ref = RefTS(dim=64, num_frames=5, num_classes=3, image_size=32,
+                patch_size=16, channels=3, depth=2, heads=4, dim_head=16,
+                attn_dropout=0.0, ff_dropout=0.0, rotary_emb=True).eval()
+    rng = np.random.RandomState(5)
+    video = (rng.randn(2, 5, 3, 32, 32) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref_tokens = ref.meant_forward(torch.tensor(video)).numpy()
+        ref_logits = ref(torch.tensor(video)).numpy()
+
+    import jax
+    import jax.numpy as jnp
+    from meant_tpu.nn.timesformer import TimeSformer
+    from meant_tpu.utils import port
+    params = port.import_timesformer(dict(ref.state_dict()), depth=2)
+    model = TimeSformer(dim=64, num_frames=5, num_classes=3, image_size=32,
+                        patch_size=16, channels=3, depth=2, heads=4,
+                        dim_head=16, attn_dropout=0.0, ff_dropout=0.0,
+                        rotary_emb=True)
+    tokens = np.asarray(model.apply({"params": params}, jnp.asarray(video),
+                                    return_tokens=True))
+    logits = np.asarray(model.apply({"params": params}, jnp.asarray(video)))
+    tok_diff = np.abs(tokens - ref_tokens).max()
+    log_diff = np.abs(logits - ref_logits).max()
+    assert tok_diff <= 1e-3, f"timesformer token parity violated: {tok_diff}"
+    assert log_diff <= 1e-3, f"timesformer logit parity violated: {log_diff}"
