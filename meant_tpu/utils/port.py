@@ -380,3 +380,49 @@ def import_timesformer(sd: Mapping, depth: int, prefix: str = "") -> Dict:
         params["out_proj"] = {"kernel": _t(sd[f"{p}to_out.1.weight"]).T,
                               "bias": _t(sd[f"{p}to_out.1.bias"])}
     return params
+
+
+def _attn_pool_params(sd: Mapping, prefix: str) -> Dict:
+    """lang_prep/image_prep: Sequential(Linear, LayerNorm, GELU, Linear,
+    Softmax) (`src/meant/meant_timesformer.py:274-279`)."""
+    return {
+        "proj1": linear_params(sd, f"{prefix}.0"),
+        "norm": {"scale": _t(sd[f"{prefix}.1.weight"]),
+                 "offset": _t(sd[f"{prefix}.1.bias"])},
+        "proj2": linear_params(sd, f"{prefix}.3"),
+    }
+
+
+def import_meant_timesformer(sd: Mapping, num_encoders: int,
+                             ts_depth: int = 1) -> Dict:
+    """src-era meant_timesformer (`src/meant/meant_timesformer.py:200-358`).
+    The reference's constructed-but-unused visionEncoders/patchEmbed/lang_red
+    are skipped (dead in its forward)."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "timesformer": import_timesformer(sd, ts_depth,
+                                          prefix="timesformer."),
+        "lang_prep": _attn_pool_params(sd, "lang_prep"),
+        "image_prep": _attn_pool_params(sd, "image_prep"),
+        "temporal_encoding_0": {
+            "norm1": norm_params(sd, "temporal_encoding.0.temp_encode.0",
+                                 "layer"),
+            "proj_in": linear_params(sd,
+                                     "temporal_encoding.0.temp_encode.1"),
+            "temporal": attention_params(
+                sd, "temporal_encoding.0.temp_encode.2", swap_kv=False),
+            "norm2": norm_params(sd, "temporal_encoding.0.temp_encode.3",
+                                 "layer"),
+            "proj_out": linear_params(sd,
+                                      "temporal_encoding.0.temp_encode.4"),
+        },
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="layer", ff_norm2="rms",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+    return params

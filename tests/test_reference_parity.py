@@ -349,3 +349,64 @@ def test_true_reference_timesformer_parity():
     log_diff = np.abs(logits - ref_logits).max()
     assert tok_diff <= 1e-3, f"timesformer token parity violated: {tok_diff}"
     assert log_diff <= 1e-3, f"timesformer logit parity violated: {log_diff}"
+
+
+def test_true_reference_meant_timesformer_parity():
+    """Full src-era meant_timesformer (TimeSformer image branch,
+    attention-weighted text pooling, src temporal) at ported weights; the
+    .half() cast is identity-patched as in the meant_src test. Image size
+    must be 224 (image_prep hard-codes 981 tokens)."""
+    _install_stubs()
+    import src.meant.meant_timesformer as ref_mod
+
+    from transformers.models.roberta.modeling_roberta import \
+        RobertaEmbeddings
+    from transformers import RobertaConfig
+    torch.manual_seed(6)
+    cfg = RobertaConfig(vocab_size=100, hidden_size=768,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0)
+    ref = ref_mod.meant_timesformer(
+        text_dim=768, image_dim=768, price_dim=5, height=224, width=224,
+        patch_res=16, lag=5, num_classes=2,
+        embedding=RobertaEmbeddings(cfg), flash=False, num_heads=8,
+        num_encoders=1, channels=3, seq_len=32).eval()
+
+    rng = np.random.RandomState(6)
+    b, lag, s = 2, 5, 16
+    batch = {
+        "input_ids": torch.tensor(
+            rng.randint(2, 100, size=(b, lag, s)).astype(np.int64)),
+        "pixels": torch.tensor(
+            (rng.randn(b, lag, 3, 224, 224) * 0.5).astype(np.float32)),
+        "prices": torch.tensor(rng.randn(b, lag, 5).astype(np.float32)),
+        "attention_mask": torch.ones(b, lag, s),
+    }
+    orig_half = torch.Tensor.half
+    torch.Tensor.half = lambda self: self
+    try:
+        with torch.no_grad():
+            ref_out = ref.forward(**batch).numpy()
+    finally:
+        torch.Tensor.half = orig_half
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig, meant_timesformer
+    from meant_tpu.utils import port
+    params = port.import_meant_timesformer(dict(ref.state_dict()),
+                                           num_encoders=1, ts_depth=1)
+    model = meant_timesformer(
+        text_dim=768, image_dim=768, price_dim=5, height=224, width=224,
+        patch_res=16, lag=5, num_classes=2,
+        embedding=EmbeddingConfig(vocab_size=100, hidden_size=768,
+                                  max_position_embeddings=40, dropout=0.0),
+        num_heads=8, num_encoders=1, channels=3, seq_len=32)
+    out = np.asarray(model.apply(
+        {"params": params},
+        input_ids=jnp.asarray(np.asarray(batch["input_ids"], np.int32)),
+        pixels=jnp.asarray(np.asarray(batch["pixels"])),
+        prices=jnp.asarray(np.asarray(batch["prices"])),
+        attention_mask=jnp.asarray(np.asarray(batch["attention_mask"],
+                                              np.float32))))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"meant_timesformer parity violated: {diff}"
