@@ -426,3 +426,69 @@ def import_meant_timesformer(sd: Mapping, num_encoders: int,
             sd, f"languageEncoders.{i}", norm="layer", ff_norm2="rms",
             xpos_prefix=f"languageEncoders.{i}.xPos")
     return params
+
+
+def import_meant_mean_pooling(sd: Mapping, num_encoders: int,
+                              ts_depth: int = 1) -> Dict:
+    """src-era meant_mean_pooling (`src/meant/meant_mean_pooling.py`):
+    mean-pooled text + TimeSformer image branch through the degenerate
+    image_proj (Linear(981,1) + LayerNorm(1) + GELU)."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "timesformer": import_timesformer(sd, ts_depth,
+                                          prefix="timesformer."),
+        "image_proj": _seq_projection_params(sd, "image_proj"),
+        "temporal_encoding_0": {
+            "norm1": norm_params(sd, "temporal_encoding.0.temp_encode.0",
+                                 "layer"),
+            "proj_in": linear_params(sd,
+                                     "temporal_encoding.0.temp_encode.1"),
+            "temporal": attention_params(
+                sd, "temporal_encoding.0.temp_encode.2", swap_kv=False),
+            "norm2": norm_params(sd, "temporal_encoding.0.temp_encode.3",
+                                 "layer"),
+            "proj_out": linear_params(sd,
+                                      "temporal_encoding.0.temp_encode.4"),
+        },
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="layer", ff_norm2="rms",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+    return params
+
+
+def import_meant_tweet_price(sd: Mapping, num_encoders: int) -> Dict:
+    """meantTweetPrice (`src/meant/meant_tweet_price.py:139-219`): RMSNorm
+    languageEncoders; temporalEncoder = temp_embedding + [RMSNorm, Linear,
+    temporal(src straight q/k/v), RMSNorm, Dropout, Linear] — proj_out at
+    temp_encode.5 (dropout at 4)."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "temporal_encoding_0": {
+            "temp_embedding": _t(sd["temporal_encoding.0.temp_embedding"]),
+            "norm1": norm_params(sd, "temporal_encoding.0.temp_encode.0",
+                                 "rms"),
+            "proj_in": linear_params(sd,
+                                     "temporal_encoding.0.temp_encode.1"),
+            "temporal": attention_params(
+                sd, "temporal_encoding.0.temp_encode.2", swap_kv=False),
+            "norm2": norm_params(sd, "temporal_encoding.0.temp_encode.3",
+                                 "rms"),
+            "proj_out": linear_params(sd,
+                                      "temporal_encoding.0.temp_encode.5"),
+        },
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="rms",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+    return params

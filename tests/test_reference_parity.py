@@ -410,3 +410,101 @@ def test_true_reference_meant_timesformer_parity():
                                               np.float32))))
     diff = np.abs(out - ref_out).max()
     assert diff <= 1e-3, f"meant_timesformer parity violated: {diff}"
+
+
+def test_true_reference_meant_mean_pooling_parity():
+    _install_stubs()
+    import src.meant.meant_mean_pooling as ref_mod
+
+    from transformers.models.roberta.modeling_roberta import \
+        RobertaEmbeddings
+    from transformers import RobertaConfig
+    torch.manual_seed(7)
+    cfg = RobertaConfig(vocab_size=100, hidden_size=768,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0)
+    ref = ref_mod.meant_mean_pooling(
+        text_dim=768, image_dim=768, price_dim=5, height=224, width=224,
+        patch_res=16, lag=5, num_classes=2,
+        embedding=RobertaEmbeddings(cfg), flash=False, num_heads=8,
+        num_encoders=1, channels=3, seq_len=32).eval()
+    rng = np.random.RandomState(7)
+    b, lag, s = 2, 5, 16
+    batch = {
+        "input_ids": torch.tensor(
+            rng.randint(2, 100, size=(b, lag, s)).astype(np.int64)),
+        "pixels": torch.tensor(
+            (rng.randn(b, lag, 3, 224, 224) * 0.5).astype(np.float32)),
+        "prices": torch.tensor(rng.randn(b, lag, 5).astype(np.float32)),
+        "attention_mask": torch.ones(b, lag, s),
+    }
+    orig_half = torch.Tensor.half
+    torch.Tensor.half = lambda self: self
+    try:
+        with torch.no_grad():
+            ref_out = ref.forward(**batch).numpy()
+    finally:
+        torch.Tensor.half = orig_half
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig, meant_mean_pooling
+    from meant_tpu.utils import port
+    params = port.import_meant_mean_pooling(dict(ref.state_dict()),
+                                            num_encoders=1, ts_depth=1)
+    model = meant_mean_pooling(
+        text_dim=768, image_dim=768, price_dim=5, height=224, width=224,
+        patch_res=16, lag=5, num_classes=2,
+        embedding=EmbeddingConfig(vocab_size=100, hidden_size=768,
+                                  max_position_embeddings=40, dropout=0.0),
+        num_heads=8, num_encoders=1, channels=3, seq_len=32)
+    out = np.asarray(model.apply(
+        {"params": params},
+        input_ids=jnp.asarray(np.asarray(batch["input_ids"], np.int32)),
+        pixels=jnp.asarray(np.asarray(batch["pixels"])),
+        prices=jnp.asarray(np.asarray(batch["prices"])),
+        attention_mask=jnp.asarray(np.asarray(batch["attention_mask"],
+                                              np.float32))))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"meant_mean_pooling parity violated: {diff}"
+
+
+def test_true_reference_meant_tweet_price_parity():
+    _install_stubs()
+    import src.meant.meant_tweet_price as ref_mod
+
+    from transformers.models.roberta.modeling_roberta import \
+        RobertaEmbeddings
+    from transformers import RobertaConfig
+    torch.manual_seed(8)
+    cfg = RobertaConfig(vocab_size=100, hidden_size=768,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0)
+    ref = ref_mod.meantTweetPrice(
+        text_dim=768, price_dim=5, lag=5, num_classes=2,
+        embedding=RobertaEmbeddings(cfg), num_heads=8,
+        num_encoders=1).eval()
+    rng = np.random.RandomState(8)
+    b, lag, s = 2, 5, 16
+    tweets = torch.tensor(rng.randint(2, 100, size=(b, lag, s))
+                          .astype(np.int64))
+    prices = torch.tensor(rng.randn(b, lag, 5).astype(np.float32))
+    mask = torch.ones(b, lag, s)
+    with torch.no_grad():
+        ref_out = ref(tweets, prices, attention_mask=mask).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig, meantTweetPrice
+    from meant_tpu.utils import port
+    params = port.import_meant_tweet_price(dict(ref.state_dict()),
+                                           num_encoders=1)
+    model = meantTweetPrice(
+        text_dim=768, price_dim=5, lag=5, num_classes=2,
+        embedding=EmbeddingConfig(vocab_size=100, hidden_size=768,
+                                  max_position_embeddings=40, dropout=0.0),
+        num_heads=8, num_encoders=1)
+    out = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(np.asarray(tweets, np.int32)),
+        jnp.asarray(np.asarray(prices)),
+        jnp.asarray(np.asarray(mask, np.float32))))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"meantTweetPrice parity violated: {diff}"
