@@ -76,3 +76,79 @@ def test_defect15_layernorm1_projection_constant():
     x = torch.randn(4, 7, 1) * 100
     out = ln(x)
     assert torch.allclose(out, torch.zeros_like(out), atol=1e-5)
+
+
+def test_defect18_meant_mosi_fusion_shape_crash():
+    """DEFECTS #18: meant_mosi's fusion concatenates (b, 768) with
+    (b, 20, 768) — shape-invalid as shipped (`src/meant/meant_mosi.py:
+    352-355`). positional_encodings is stubbed with faithful sinusoidal
+    semantics so the forward reaches the broken concat."""
+    import sys
+    import types
+    import math
+    _install_stubs()
+
+    # stub positional_encodings.torch_encodings (not installed):
+    # PositionalEncodingPermute1D + Summer ≡ add channels-last sinusoidal PE
+    pe_mod = types.ModuleType("positional_encodings.torch_encodings")
+
+    class PositionalEncodingPermute1D(torch.nn.Module):
+        def __init__(self, channels):
+            super().__init__()
+            self.channels = channels
+
+        def forward(self, x):
+            b, s, d = x.shape
+            pos = torch.arange(s).float().unsqueeze(1)
+            div = torch.exp(torch.arange(0, d, 2).float()
+                            * (-math.log(10000.0) / d))
+            pe = torch.zeros(s, d)
+            pe[:, 0::2] = torch.sin(pos * div)
+            pe[:, 1::2] = torch.cos(pos * div)[:, : d // 2]
+            return pe.unsqueeze(0).expand(b, s, d)
+
+    class Summer(torch.nn.Module):
+        def __init__(self, penc):
+            super().__init__()
+            self.penc = penc
+
+        def forward(self, x):
+            return x + self.penc(x)
+
+        def cuda(self):
+            return self
+
+    pe_mod.PositionalEncodingPermute1D = PositionalEncodingPermute1D
+    pe_mod.Summer = Summer
+    pkg = types.ModuleType("positional_encodings")
+    pkg.torch_encodings = pe_mod
+    sys.modules["positional_encodings"] = pkg
+    sys.modules["positional_encodings.torch_encodings"] = pe_mod
+
+    import src.meant.meant_mosi as ref_mod
+    torch.manual_seed(9)
+
+    class PassEmbedding(torch.nn.Module):
+        def forward(self, x, attention_mask=None):
+            return x
+
+    ref = ref_mod.meant_mosi(text_dim=768, image_dim=768, height=20,
+                             width=1, patch_res=1, lag=50, num_classes=2,
+                             embedding=PassEmbedding(),
+                             num_encoders=1).eval()
+    rng = np.random.RandomState(9)
+    batch = {
+        "input_ids": torch.tensor(rng.randn(2, 50, 768).astype(np.float32)),
+        "pixels": torch.tensor(rng.randn(2, 50, 20).astype(np.float32)),
+        "audio": torch.tensor(rng.randn(2, 50, 130).astype(np.float32)),
+        "audio_mask": torch.ones(2, 50),
+        "attention_mask": torch.ones(2, 50),
+    }
+    orig_half = torch.Tensor.half
+    torch.Tensor.half = lambda self: self
+    try:
+        with pytest.raises(Exception):  # shape-invalid concat / cuda call
+            with torch.no_grad():
+                ref.forward(**batch)
+    finally:
+        torch.Tensor.half = orig_half
