@@ -1,15 +1,22 @@
-"""Benchmark: MEANT-12 training throughput (samples/sec/chip) on
-TempStockLarge-shaped data.
+"""Benchmark: MEANT-12 training throughput (samples/sec/chip).
 
-Baseline (BASELINE.md): the reference trains src-era meant at ~1.42-1.44 it/s
-@ batch 16 on an A100-SXM4-80GB => ~23 samples/s/GPU (`src/slurm-42756024.out`).
-Shapes here mirror that workload: batch 16, lag 5, 128-token tweets
-(`dataprep.py` pads TempStock tweets to 128), 224x224 chart images, patch 16
-(196 tokens), 12+12 encoders, bf16 activations / fp32 params.
+Default workload = the honest baseline match: the SRC-ERA meant
+(`/root/reference/src/meant/meant.py:197-311` — 3-channel 224^2 charts,
+512-cap text, learned-projection fusion, 12+12 encoders) trained on
+TempStockLarge-shaped data at batch 16, which is exactly what produced the
+A100 baseline of ~1.42-1.44 it/s @ batch 16 => ~23 samples/s/GPU
+(`/root/reference/src/slurm-42756024.out`). Text is padded to the FULL
+512 cap — the reference used dynamic padding (content usually shorter), so
+this is a conservative floor for the vs_baseline ratio.
+
+Other workloads (--workload): `paper128` = the paper-generation meant at
+TempStock-small shapes (128-token tweets, 4-channel images); `src256` =
+src model at half text padding.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import time
 
@@ -21,11 +28,8 @@ import jax.numpy as jnp
 BASELINE_SAMPLES_PER_SEC = 23.0
 
 
-def main():
-    from meant_tpu.data import ArrayLoader
+def build_paper128():
     from meant_tpu.models import EmbeddingConfig, meant
-    from meant_tpu.parallel import make_mesh
-    from meant_tpu.train import meant_trainer
 
     b, lag, s = 16, 5, 128
     model = meant(text_dim=768, image_dim=768, price_dim=4, height=224,
@@ -39,12 +43,57 @@ def main():
         "attention_masks": np.ones((b, lag, s), np.float32),
         "y": rng.randint(0, 2, size=(b,)).astype(np.int32),
     }
+    metric = "TempStock(paper meant-12) train samples/sec/chip (s=128, bf16)"
+    return model, "meant", data, b, metric
+
+
+def build_src(seq_len: int, batch: int = 16):
+    from meant_tpu.models import EmbeddingConfig
+    from meant_tpu.models.meant_src import meant_src
+
+    b, lag, s = batch, 5, seq_len
+    model = meant_src(text_dim=768, image_dim=768, price_dim=5, height=224,
+                      width=224, patch_res=16, lag=lag, num_classes=2,
+                      embedding=EmbeddingConfig(), num_heads=8,
+                      num_encoders=12, channels=3, seq_len=512, flash=True,
+                      flash_vision=False, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    data = {
+        "input_ids": rng.randint(2, 64000, size=(b, lag, s)).astype(np.int32),
+        "pixels": rng.randn(b, lag, 3, 224, 224).astype(np.float32),
+        "prices": rng.randn(b, lag, 5).astype(np.float32),
+        "attention_masks": np.ones((b, lag, s), np.float32),
+        "y": rng.randint(0, 2, size=(b,)).astype(np.int32),
+    }
+    metric = (f"TempStockLarge(src meant-12) train samples/sec/chip "
+              f"(s={s} full padding, bf16, flash)")
+    return model, "meant_src", data, b, metric
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="src512",
+                    choices=["src512", "src256", "paper128"])
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.parallel import make_mesh
+    from meant_tpu.train import meant_trainer
+
+    if args.workload == "paper128":
+        model, name, data, b, metric = build_paper128()
+    elif args.workload == "src256":
+        model, name, data, b, metric = build_src(256)
+    else:
+        model, name, data, b, metric = build_src(512)
+
     mesh = make_mesh()
     n_chips = len(jax.devices())
     trainer = meant_trainer({
-        "model": model, "model_name": "meant", "dataset": "Tempstock",
+        "model": model, "model_name": name, "dataset": "TempStockLarge",
         "train_loader": ArrayLoader(data, b), "epochs": 1,
-        "num_classes": 2, "lag": lag, "mesh": mesh, "test_model": False,
+        "num_classes": 2, "lag": 5, "mesh": mesh, "test_model": False,
         "run_id": "bench", "lrst": "constant", "lr": 1e-5,
     })
     batch = next(iter(trainer.train_loader))
@@ -62,7 +111,7 @@ def main():
         trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
     float(loss)
 
-    steps = 20
+    steps = args.steps
     t0 = time.perf_counter()
     for _ in range(steps):
         trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
@@ -72,7 +121,7 @@ def main():
     samples_per_sec = steps * b / dt
     per_chip = samples_per_sec / max(n_chips, 1)
     print(json.dumps({
-        "metric": "TempStockLarge train samples/sec/chip (MEANT-12, bf16)",
+        "metric": metric,
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),

@@ -170,7 +170,9 @@ def build_model(args, emb_cfg=None):
         return meantTweetPrice(td, 5, args.lag, args.num_classes,
                                embedding=emb, flash=args.flash, **common)
     if name == "meant_price":
-        return meant_price(5, args.lag, args.num_classes, num_heads=1,
+        # reference default num_heads=8 (head dim clamps to 1 at price_dim 5,
+        # `src/meant/temporal.py:18-20`)
+        return meant_price(5, args.lag, args.num_classes, num_heads=8,
                            dtype=dtype)
     if name == "meant_timesformer":
         return meant_timesformer(td, imd, 5, size, size, 16, args.lag,

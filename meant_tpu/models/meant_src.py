@@ -72,6 +72,11 @@ class meant_src(nn.Module):
     seq_len: int = 512
     fixed_proj: bool = False
     remat: bool = False   # rematerialize encoder blocks (long-seq memory)
+    # per-branch flash override (None = follow `flash`): the Pallas kernel
+    # wins for the 512-token text branch but loses to XLA attention at the
+    # 196-patch vision length (measured on v5e — see README perf matrix)
+    flash_text: Optional[bool] = None
+    flash_vision: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,10 +94,14 @@ class meant_src(nn.Module):
             words, deterministic=deterministic)
         if attention_mask is not None:
             attention_mask = attention_mask.reshape(b * lag, s)
+        flash_text = (self.flash if self.flash_text is None
+                      else self.flash_text)
+        flash_vision = (self.flash if self.flash_vision is None
+                        else self.flash_vision)
         for i in range(self.num_encoders):
             words = LangEnc(
                 self.text_dim, self.num_heads, norm="layer", ff_norm2="rms",
-                init_style="xavier", flash=self.flash, dtype=self.dtype,
+                init_style="xavier", flash=flash_text, dtype=self.dtype,
                 name=f"languageEncoders_{i}")(
                     words, attention_mask, deterministic)
         # (b*l, s, d) -> (b, l, d, s), zero-pad seq to seq_len
@@ -111,7 +120,7 @@ class meant_src(nn.Module):
         for i in range(self.num_encoders):
             imgs = VisEnc(
                 self.image_dim, self.num_heads, norm="layer", ff_norm2="rms",
-                init_style="xavier", flash=self.flash, dtype=self.dtype,
+                init_style="xavier", flash=flash_vision, dtype=self.dtype,
                 name=f"visionEncoders_{i}")(imgs, deterministic)
         n = imgs.shape[1]
         imgs = imgs.reshape(b, lag, n, self.image_dim).transpose(0, 1, 3, 2)
@@ -184,18 +193,21 @@ class meantTweetPrice(nn.Module):
 
 class meant_price(nn.Module):
     """Price-only temporal model (`src/meant/meantPrice.py:67-100`):
-    5-dim MACD features -> src temporalEncoder -> LayerNorm head.
+    5-dim MACD features -> norm-free src temporalEncoder (the reference's
+    LayerNorms are commented out) -> LayerNorm head. num_heads defaults to 8
+    like the reference — with price_dim 5 the head dim clamps to 1 and
+    atten_size becomes 8 (`src/meant/temporal.py:18-20`).
     forward(**batch) reading prices (b, lag, price_dim)."""
     price_dim: int
     lag: int
     num_classes: int
-    num_heads: int = 1
+    num_heads: int = 8
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, prices=None, deterministic: bool = True, **_):
         fused = TemporalEncoder(self.price_dim, self.num_heads, self.lag,
-                                style="src", dtype=self.dtype,
+                                style="src_slim", dtype=self.dtype,
                                 name="temporal_encoding_0")(prices)
         return MlpHead(self.price_dim, self.num_classes, norm="layer",
                        dtype=self.dtype, name="mlpHead")(fused)
@@ -227,11 +239,18 @@ class mlpEncoder(nn.Module):
 
 class LSTMEncoder(nn.Module):
     """LSTM price baseline (`src/meant/simple_mlp.py:31-49`): Linear+LN+ReLU
-    -> num_hidden_layers-stacked LSTM over the lag axis -> sigmoid head."""
+    -> num_hidden_layers-stacked LSTM -> sigmoid head.
+
+    DOCUMENTED REFERENCE DEFECT (default-on): the reference feeds
+    (batch, lag, hidden) to `nn.LSTM` WITHOUT batch_first, so torch treats
+    the BATCH axis as time and the lag axis as batch — recurrence runs
+    across batch elements. `torch_axis_quirk=False` scans over lag (the
+    intended semantics)."""
     input_dim: int
     output_dim: int
     hidden_dim: int
     num_hidden_layers: int = 3
+    torch_axis_quirk: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -240,15 +259,14 @@ class LSTMEncoder(nn.Module):
                    dtype=self.dtype, name="input_layer")(prices)
         x = make_norm("layer", self.hidden_dim, "input_norm")(x)
         x = jax.nn.relu(x)
-        # (b, lag, hidden): scan an LSTM cell over lag per layer.
+        axis = 0 if self.torch_axis_quirk else 1
         for i in range(self.num_hidden_layers):
-            cell = nn.OptimizedLSTMCell(self.hidden_dim,
-                                        name=f"lstm_cell_{i}")
-            carry = cell.initialize_carry(
-                jax.random.PRNGKey(0), x[:, 0].shape)
-            scan = nn.scan(type(cell), variable_broadcast="params",
-                           split_rngs={"params": False}, in_axes=1,
-                           out_axes=1)(self.hidden_dim, name=f"lstm_{i}")
+            scan = nn.scan(nn.OptimizedLSTMCell, variable_broadcast="params",
+                           split_rngs={"params": False}, in_axes=axis,
+                           out_axes=axis)(self.hidden_dim, name=f"lstm_{i}")
+            batch_shape = (x.shape[1 - axis], self.hidden_dim)
+            carry = (jnp.zeros(batch_shape, x.dtype),
+                     jnp.zeros(batch_shape, x.dtype))
             carry, x = scan(carry, x)
         x = Linear(self.output_dim, self.hidden_dim, init_style="xavier",
                    dtype=self.dtype, name="output_layer")(x)

@@ -127,6 +127,9 @@ _TEMPORAL_STYLES = {
     # src (`src/meant/meant.py:153-199`): no positional param, LayerNorms,
     # xavier init, src temporal (flat (b, dim) output).
     "src": ("layer", False, "src", "xavier"),
+    # meant_price (`src/meant/meantPrice.py:16-64`): like src but the
+    # LayerNorms are commented out — [Linear, temporal, Linear] only.
+    "src_slim": (None, False, "src", "xavier"),
     # meantTweetPrice (`src/meant/meant_tweet_price.py:113-136`): positional
     # param + RMSNorm sandwich + Dropout before proj_out, src temporal.
     "tweet_price": ("rms", True, "src", "torch"),

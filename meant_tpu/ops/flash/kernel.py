@@ -23,8 +23,13 @@ Design notes (MEANT workloads: s in {128, 196/197, 512}, head dim 96):
     follows the reference's (1 - mask) * -1e9 convention
     (`meant/xPosAttention.py:54-56`).
 
-Backward: custom VJP that recomputes attention with plain XLA ops (cheap at
-these sequence lengths, keeps grads bit-consistent with the reference math).
+Backward: custom VJP with two regimes. Short sequences (K/V VMEM-resident)
+use a q-blocked Pallas backward that recomputes each q-block's softmax in
+one pass. Long sequences (online path) use a streaming FlashAttention-2
+style backward: the forward saves per-row logsumexp, delta = rowsum(dO*O)
+is computed in XLA, and two kernels stream blocks — dQ over k blocks,
+dK/dV over q blocks — with fp32 scratch accumulators and causal block
+skipping, so VMEM stays O(block^2) at any sequence length.
 """
 
 from __future__ import annotations
@@ -96,12 +101,14 @@ def _fwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
 
 
 def _fwd_online_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
-                       q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                       scale: float, causal: bool, block_q: int,
-                       block_k: int, use_mask: bool):
+                       q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
+                       l_ref, *, scale: float, causal: bool, block_q: int,
+                       block_k: int, use_mask: bool, seq_k: int):
     """Online-softmax streaming variant: grid (bh, q_blocks, k_blocks) with
     the k axis innermost (sequential on TPU); running max/denominator/acc in
-    VMEM scratch, output written on the last k block."""
+    VMEM scratch, output + per-row logsumexp written on the last k block.
+    The LSE output feeds the streaming backward (softmax is reconstructed
+    per block as exp(scores - lse) without a second online pass)."""
     j = pl.program_id(1)
     kk = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -131,6 +138,12 @@ def _fwd_online_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
                 + kk * block_k
             scores = jnp.where(col <= row, scores, -jnp.inf)
+        if seq_k % block_k != 0:
+            # block-padded key columns (content undefined) must not leak
+            # into the softmax denominator
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                + kk * block_k
+            scores = jnp.where(col < seq_k, scores, -jnp.inf)
         if use_mask:
             scores = scores + (1.0 - kmask_ref[0]) * -1e9
 
@@ -157,10 +170,16 @@ def _fwd_online_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
     def _():
         denom = jnp.maximum(l_ref[:], 1e-30)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        # lse = m + log(l): softmax row i of the full scores is
+        # exp(scores_i - lse_i). Fully-masked rows (m = -inf, l = 0) get a
+        # large-negative finite lse so exp(scores - lse) stays 0 in the bwd.
+        m_safe = jnp.where(jnp.isfinite(m_ref[:]), m_ref[:], 0.0)
+        lse_ref[0] = m_safe + jnp.log(denom)          # (block_q, 1)
 
 
 def _flash_fwd_online(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale,
                       causal, num_heads, block_q, block_k, interpret):
+    """Returns (out (bh, s_q, d), lse (bh, s_q, 1) fp32)."""
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     block_q = min(block_q, s_q)
@@ -173,7 +192,8 @@ def _flash_fwd_online(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale,
         kmask_index = lambda i, j, kk, h=num_heads: (i // h, kk)
     kernel = functools.partial(_fwd_online_kernel, scale=scale,
                                causal=causal, block_q=block_q,
-                               block_k=block_k, use_mask=use_mask)
+                               block_k=block_k, use_mask=use_mask,
+                               seq_k=s_k)
     return pl.pallas_call(
         kernel,
         grid=(bh, pl.cdiv(s_q, block_q), pl.cdiv(s_k, block_k)),
@@ -195,9 +215,14 @@ def _flash_fwd_online(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale,
             pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),            # v
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, s_q, 1), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),   # acc
             pltpu.VMEM((block_q, 1), jnp.float32),   # running max
@@ -337,6 +362,12 @@ def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
                                  memory_space=pltpu.VMEM)
     per_k = lambda: pl.BlockSpec((1, s_k, d), lambda i, j: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
+    # NOTE: dk/dv correctness relies on the q-block grid axis executing
+    # SEQUENTIALLY per (batch, head) — output blocks are revisited and
+    # accumulated across j. TPU Pallas guarantees sequential grid execution
+    # within a core (grids are loops, not parallel launches), which is what
+    # makes the revisit-accumulate pattern sound; the streaming backward
+    # below instead accumulates in VMEM scratch and never revisits.
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bh, pl.cdiv(s_q, block_q)),
@@ -353,6 +384,237 @@ def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
         interpret=interpret,
     )(qcos, qsin, kcos, ksin, kmask, q, k, v, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _bwd_dq_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
+                   q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, acc_ref, *, scale: float, causal: bool,
+                   use_mask: bool, block_q: int, block_k: int, seq_k: int):
+    """Streaming dQ: grid (bh, q_blocks, k_blocks), k innermost (sequential).
+    Softmax is reconstructed per (q, k) block from the forward LSE
+    (p = exp(scores - lse)); dQr accumulates in fp32 scratch and the rotation
+    adjoint is applied once on the last k block. VMEM footprint is
+    O(block_q * block_k + block * d) — independent of s_k."""
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    in_dtype = q_ref.dtype
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        qr = (q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]) \
+            .astype(in_dtype)
+        kr = (k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]) \
+            .astype(in_dtype)
+        scores = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
+                + j * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                + kk * block_k
+            scores = jnp.where(col <= row, scores, -jnp.inf)
+        if seq_k % block_k != 0:
+            # zero out block-padded key columns (undefined content)
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                + kk * block_k
+            scores = jnp.where(col < seq_k, scores, -jnp.inf)
+        if use_mask:
+            scores = scores + (1.0 - kmask_ref[0]) * -1e9
+        p = jnp.exp(scores - lse_ref[0])               # (block_q, block_k)
+        dp = jax.lax.dot_general(do_ref[0], v_ref[0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_ref[0]) * scale).astype(in_dtype)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            ds, kr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        # k blocks entirely above the diagonal contribute nothing
+        pl.when(kk * block_k <= j * block_q + block_q - 1)(body)
+    else:
+        body()
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        dqr = acc_ref[:]
+        dq = qcos_ref[:] * dqr - _rotate_half_lanes(qsin_ref[:] * dqr)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkdv_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
+                     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                     causal: bool, use_mask: bool, block_q: int,
+                     block_k: int, seq_q: int):
+    """Streaming dK/dV: grid (bh, k_blocks, q_blocks), q innermost
+    (sequential). dKr/dV accumulate in fp32 scratch; k-rotation adjoint is
+    applied once on the last q block. No output-block revisiting."""
+    kk = pl.program_id(1)
+    j = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    in_dtype = q_ref.dtype
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        qr = (q * qcos_ref[:] + _rotate_half_lanes(q) * qsin_ref[:]) \
+            .astype(in_dtype)
+        kr = (k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]) \
+            .astype(in_dtype)
+        scores = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
+                + j * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                + kk * block_k
+            scores = jnp.where(col <= row, scores, -jnp.inf)
+        if use_mask:
+            scores = scores + (1.0 - kmask_ref[0]) * -1e9
+        p = jnp.exp(scores - lse_ref[0])               # (block_q, block_k)
+        if seq_q % block_q != 0:
+            # block-padded q rows carry undefined lse/do — zero their
+            # contribution to the dK/dV accumulators
+            row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) \
+                + j * block_q
+            p = jnp.where(row < seq_q, p, 0.0)
+        p_lo = p.astype(in_dtype)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p_lo, do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_ref[0], v_ref[0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_ref[0]) * scale).astype(in_dtype)
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds, qr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        # q blocks entirely above the k block's first column see only
+        # masked entries — skip them.
+        pl.when(j * block_q + block_q - 1 >= kk * block_k)(body)
+    else:
+        body()
+
+    @pl.when(j == n_q - 1)
+    def _():
+        dkr = dk_acc[:]
+        dk = kcos_ref[:] * dkr - _rotate_half_lanes(ksin_ref[:] * dkr)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_online(q, k, v, do, lse, delta, kmask, qcos, qsin, kcos,
+                      ksin, *, scale, causal, num_heads, block_q, block_k,
+                      interpret):
+    """Streaming (k-blocked) flash backward. q/k/v/do: (BH, s, d);
+    lse/delta: (BH, s_q, 1) fp32 from the forward. Two kernels: dQ streams
+    k blocks, dK/dV streams q blocks; both hold O(block^2) in VMEM so
+    sequences far beyond the K-resident limit backprop without spilling."""
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    block_q = min(block_q, s_q)
+    block_k = min(block_k, s_k)
+    use_mask = kmask is not None
+    if kmask is None:
+        kmask = jnp.ones((1, s_k), jnp.float32)
+        kmask_dq = lambda i, j, kk: (0, 0)
+        kmask_dkv = lambda i, kk, j: (0, 0)
+    else:
+        kmask_dq = lambda i, j, kk, h=num_heads: (i // h, kk)
+        kmask_dkv = lambda i, kk, j, h=num_heads: (i // h, kk)
+
+    vm = pltpu.VMEM
+    common = dict(scale=scale, causal=causal, use_mask=use_mask,
+                  block_q=block_q, block_k=block_k)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, seq_k=s_k, **common),
+        grid=(bh, pl.cdiv(s_q, block_q), pl.cdiv(s_k, block_k)),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j, kk: (j, 0),
+                         memory_space=vm),                     # qcos
+            pl.BlockSpec((block_q, d), lambda i, j, kk: (j, 0),
+                         memory_space=vm),                     # qsin
+            pl.BlockSpec((block_k, d), lambda i, j, kk: (kk, 0),
+                         memory_space=vm),                     # kcos
+            pl.BlockSpec((block_k, d), lambda i, j, kk: (kk, 0),
+                         memory_space=vm),                     # ksin
+            pl.BlockSpec((1, block_k), kmask_dq, memory_space=vm),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=vm),                     # q
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=vm),                     # k
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=vm),                     # v
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=vm),                     # do
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0),
+                         memory_space=vm),                     # lse
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0),
+                         memory_space=vm),                     # delta
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qcos, qsin, kcos, ksin, kmask, q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, seq_q=s_q, **common),
+        grid=(bh, pl.cdiv(s_k, block_k), pl.cdiv(s_q, block_q)),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, kk, j: (j, 0),
+                         memory_space=vm),                     # qcos
+            pl.BlockSpec((block_q, d), lambda i, kk, j: (j, 0),
+                         memory_space=vm),                     # qsin
+            pl.BlockSpec((block_k, d), lambda i, kk, j: (kk, 0),
+                         memory_space=vm),                     # kcos
+            pl.BlockSpec((block_k, d), lambda i, kk, j: (kk, 0),
+                         memory_space=vm),                     # ksin
+            pl.BlockSpec((1, block_k), kmask_dkv, memory_space=vm),
+            pl.BlockSpec((1, block_q, d), lambda i, kk, j: (i, j, 0),
+                         memory_space=vm),                     # q
+            pl.BlockSpec((1, block_k, d), lambda i, kk, j: (i, kk, 0),
+                         memory_space=vm),                     # k
+            pl.BlockSpec((1, block_k, d), lambda i, kk, j: (i, kk, 0),
+                         memory_space=vm),                     # v
+            pl.BlockSpec((1, block_q, d), lambda i, kk, j: (i, j, 0),
+                         memory_space=vm),                     # do
+            pl.BlockSpec((1, block_q, 1), lambda i, kk, j: (i, j, 0),
+                         memory_space=vm),                     # lse
+            pl.BlockSpec((1, block_q, 1), lambda i, kk, j: (i, j, 0),
+                         memory_space=vm),                     # delta
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda i, kk, j: (i, kk, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, block_k, d), lambda i, kk, j: (i, kk, 0),
+                         memory_space=vm),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((bh, s_k, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, s_k, d), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(qcos, qsin, kcos, ksin, kmask, q, k, v, do, lse, delta)
+    return dq, dk, dv
 
 
 def _xla_reference(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
@@ -375,32 +637,54 @@ def _xla_reference(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
 def _make_flash(scale: float, causal: bool, num_heads: int, block_q: int,
                 interpret: bool, online: bool = False,
                 block_k: int = DEFAULT_BLOCK_K):
+    def run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin):
+        """Returns (out (b,h,s,d), lse (bh,s_q,1) or None)."""
+        b, h, s_q, d = q.shape
+        common = dict(scale=scale, causal=causal, num_heads=num_heads,
+                      block_q=block_q, interpret=interpret)
+        qf = q.reshape(b * h, s_q, d)
+        kf = k.reshape(b * h, k.shape[2], d)
+        vf = v.reshape(b * h, v.shape[2], d)
+        if online:
+            out, lse = _flash_fwd_online(qf, kf, vf, kmask, qcos, qsin,
+                                         kcos, ksin, block_k=block_k,
+                                         **common)
+        else:
+            out = _flash_fwd(qf, kf, vf, kmask, qcos, qsin, kcos, ksin,
+                             **common)
+            lse = None
+        return out.reshape(b, h, s_q, d), lse
+
     @jax.custom_vjp
     def f(q, k, v, kmask, qcos, qsin, kcos, ksin):
-        b, h, s_q, d = q.shape
-        fwd_fn = (functools.partial(_flash_fwd_online, block_k=block_k)
-                  if online else _flash_fwd)
-        out = fwd_fn(q.reshape(b * h, s_q, d),
-                     k.reshape(b * h, k.shape[2], d),
-                     v.reshape(b * h, v.shape[2], d),
-                     kmask, qcos, qsin, kcos, ksin, scale=scale,
-                     causal=causal, num_heads=num_heads, block_q=block_q,
-                     interpret=interpret)
-        return out.reshape(b, h, s_q, d)
+        return run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin)[0]
 
     def fwd(q, k, v, kmask, qcos, qsin, kcos, ksin):
-        return f(q, k, v, kmask, qcos, qsin, kcos, ksin), \
-            (q, k, v, kmask, qcos, qsin, kcos, ksin)
+        out, lse = run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin)
+        res = (q, k, v, kmask, qcos, qsin, kcos, ksin,
+               out if online else None, lse)
+        return out, res
 
     def bwd(res, g):
-        q, k, v, kmask, qcos, qsin, kcos, ksin = res
+        q, k, v, kmask, qcos, qsin, kcos, ksin, out, lse = res
         b, h, s_q, d = q.shape
         s_k = k.shape[2]
-        dq, dk, dv = _flash_bwd(
-            q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
-            v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d),
-            kmask, qcos, qsin, kcos, ksin, scale=scale, causal=causal,
-            num_heads=num_heads, block_q=block_q, interpret=interpret)
+        if online:
+            # delta = rowsum(dO * O) — cheap elementwise+reduce in XLA.
+            delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                            axis=-1).reshape(b * h, s_q, 1)
+            dq, dk, dv = _flash_bwd_online(
+                q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
+                v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d),
+                lse, delta, kmask, qcos, qsin, kcos, ksin, scale=scale,
+                causal=causal, num_heads=num_heads, block_q=block_q,
+                block_k=block_k, interpret=interpret)
+        else:
+            dq, dk, dv = _flash_bwd(
+                q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
+                v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d),
+                kmask, qcos, qsin, kcos, ksin, scale=scale, causal=causal,
+                num_heads=num_heads, block_q=block_q, interpret=interpret)
         zeros = lambda t: None if t is None else jnp.zeros_like(t)
         return (dq.reshape(b, h, s_q, d), dk.reshape(b, h, s_k, d),
                 dv.reshape(b, h, s_k, d), zeros(kmask),
@@ -411,16 +695,27 @@ def _make_flash(scale: float, causal: bool, num_heads: int, block_q: int,
     return f
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def flash_mha(q, k, v, *, scale: float, causal: bool = False,
               attention_mask: Optional[jnp.ndarray] = None,
               qcos=None, qsin=None, kcos=None, ksin=None,
-              block_q: int = DEFAULT_BLOCK_Q,
+              block_q: Optional[int] = None,
               block_k: int = DEFAULT_BLOCK_K,
               force_online: Optional[bool] = None,
               interpret: Optional[bool] = None):
     """Fused rotary + attention. q/k/v: (b, h, s, d). The four tables are
     (s, d) fp32 (identity rotation when None). K/V stream blockwise with an
-    online softmax when s_k > K_RESIDENT_LIMIT (or force_online=True)."""
+    online softmax when s_k > K_RESIDENT_LIMIT (or force_online=True).
+
+    Sequence axes are zero-padded up to block multiples OUTSIDE the kernels
+    (identity rotation rows; padded keys masked via the additive kmask), and
+    the output sliced back. Out-of-bounds Pallas block reads have undefined
+    content — 0 * garbage = NaN inside accumulators — so the kernels only
+    ever see exactly-divisible shapes; this also satisfies the TPU lowering
+    rule that block dims divide the array dims."""
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if qcos is None:
@@ -436,7 +731,37 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
         kmask = attention_mask.astype(jnp.float32)
     online = (force_online if force_online is not None
               else s_k > K_RESIDENT_LIMIT)
-    fn = _make_flash(float(scale), bool(causal), h, int(block_q),
-                     bool(interpret), online=bool(online),
-                     block_k=int(block_k))
-    return fn(q, k, v, kmask, qcos, qsin, kcos, ksin)
+
+    if block_q is None:
+        # auto q-block: the grad-dominant cost is the (block_q, s_k) fp32
+        # score block — size it to a ~4 MB VMEM budget. Fewer, larger
+        # q blocks win decisively when they fit (s=512: whole-q is 1.6x
+        # faster than 128-row blocks, measured on v5e).
+        block_q = max(DEFAULT_BLOCK_Q, (4 * 1024 * 1024) // (4 * s_k))
+    bq = min(int(block_q), s_q)
+    bk = min(int(block_k), s_k) if online else s_k
+    if not interpret:
+        # TPU lowering: block sublane dims must divide by the dtype tile
+        # (16 covers bf16); a non-full kmask row block needs a lane dim
+        # divisible by 128.
+        bq = _round_up(bq, 16)
+        if online:
+            bk = _round_up(bk, 128)
+    pad_q = _round_up(s_q, bq) - s_q
+    pad_k = (_round_up(s_k, bk) - s_k) if online else 0
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        qcos = jnp.pad(qcos, ((0, pad_q), (0, 0)), constant_values=1.0)
+        qsin = jnp.pad(qsin, ((0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        kcos = jnp.pad(kcos, ((0, pad_k), (0, 0)), constant_values=1.0)
+        ksin = jnp.pad(ksin, ((0, pad_k), (0, 0)))
+        if kmask is None:  # padded keys must not enter the softmax
+            kmask = jnp.ones((b, s_k), jnp.float32)
+        kmask = jnp.pad(kmask, ((0, 0), (0, pad_k)))
+    fn = _make_flash(float(scale), bool(causal), h, bq,
+                     bool(interpret), online=bool(online), block_k=bk)
+    out = fn(q, k, v, kmask, qcos, qsin, kcos, ksin)
+    return out[:, :, :s_q] if pad_q else out

@@ -303,13 +303,22 @@ class meant_trainer:
             self._build_steps()
         metrics = F1Metrics(self.num_classes, set_name)
         from meant_tpu.data.loader import Prefetcher
+        # AUROC scores accumulate as DEVICE arrays; one host fetch per epoch
+        # (no per-batch sync — same policy as the train loop).
+        scores_dev, labels_dev, weights_dev = [], [], []
         for batch in Prefetcher(loader, self._device_batch):
             loss, cm, out = self._jit_eval(self.state, batch)
             metrics.update_cm(cm)
             if self.num_classes == 2:
-                w = np.asarray(batch["_weight"]) > 0
-                metrics._scores.append(np.asarray(out)[w])
-                metrics._labels.append(np.asarray(batch["y"])[w])
+                scores_dev.append(out)
+                labels_dev.append(batch["y"])
+                weights_dev.append(batch["_weight"])
+        if scores_dev:
+            w = np.asarray(jnp.concatenate(weights_dev)) > 0
+            metrics._scores.append(
+                np.asarray(jnp.concatenate(scores_dev))[w])
+            metrics._labels.append(
+                np.asarray(jnp.concatenate(labels_dev))[w])
         f1_macro, f1_micro = metrics.show()
         return f1_macro, f1_micro, metrics.compute()
 

@@ -492,3 +492,98 @@ def import_meant_tweet_price(sd: Mapping, num_encoders: int) -> Dict:
             sd, f"languageEncoders.{i}", norm="rms",
             xpos_prefix=f"languageEncoders.{i}.xPos")
     return params
+
+
+def import_meant_tweet(sd: Mapping, num_encoders: int) -> Dict:
+    """meant_tweet (`meant/meant_tweet.py:114-166`, with the `final_resi`
+    NameError at :81 patched to `final_resid`): RMSNorm languageEncoders,
+    slim temporalEncoder (temp_embedding + [Linear, temporal, Linear]),
+    LayerNorm head. Top-level temporal => swapped k/v naming."""
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "temporal_encoding_0": _slim_temporal_params(sd,
+                                                     "temporal_encoding.0"),
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="rms",
+            xpos_prefix=f"languageEncoders.{i}.xPos")
+    return params
+
+
+def import_meant_price(sd: Mapping) -> Dict:
+    """meant_price (`src/meant/meantPrice.py:67-100`): norm-free
+    temporalEncoder [Linear, temporal, Linear] (LayerNorms commented out),
+    src temporal => straight q/k/v order, LayerNorm head."""
+    return {
+        "temporal_encoding_0": {
+            "proj_in": linear_params(sd,
+                                     "temporal_encoding.0.temp_encode.0"),
+            "temporal": attention_params(
+                sd, "temporal_encoding.0.temp_encode.1", swap_kv=False),
+            "proj_out": linear_params(sd,
+                                      "temporal_encoding.0.temp_encode.2"),
+        },
+        "mlpHead": {
+            "norm": norm_params(sd, "mlpHead.0", "layer"),
+            "proj": linear_params(sd, "mlpHead.1"),
+        },
+    }
+
+
+def import_temporal2(sd: Mapping, prefix: str = "") -> Dict:
+    """temporal_2 (`src/meant/temporal_new.py:7-69`) -> TemporalAttention2
+    params. Straight q/k/v order (`temporal_new.py:38-41` maps q->q_mat,
+    v->v_mat, k->k_mat)."""
+    p = prefix
+    return {
+        "q": linear_params(sd, f"{p}q"),
+        "k": linear_params(sd, f"{p}k"),
+        "v": linear_params(sd, f"{p}v"),
+        "multi_mad": linear_params(sd, f"{p}multi_mad.0"),
+    }
+
+
+def import_mlp_encoder(sd: Mapping, num_hidden_layers: int = 3) -> Dict:
+    """mlpEncoder (`src/meant/simple_mlp.py:5-28`)."""
+    params = {
+        "input_layer": linear_params(sd, "input_layer.0"),
+        "input_norm": norm_params(sd, "input_layer.1", "layer"),
+        "output_layer": linear_params(sd, "output_layer.0"),
+    }
+    for i in range(num_hidden_layers):
+        params[f"hidden_{i}"] = linear_params(sd, f"hidden.{i}.0")
+        params[f"hidden_norm_{i}"] = norm_params(sd, f"hidden.{i}.1",
+                                                 "layer")
+    return params
+
+
+def import_lstm_encoder(sd: Mapping, num_hidden_layers: int = 3) -> Dict:
+    """LSTMEncoder (`src/meant/simple_mlp.py:31-49`): torch nn.LSTM gate
+    order is [input, forget, cell(g), output]; flax OptimizedLSTMCell keeps
+    per-gate Denses — input-side kernels (ii/if/ig/io, no bias) and
+    hidden-side kernels (hi/hf/hg/ho) whose bias absorbs
+    bias_ih + bias_hh."""
+    params = {
+        "input_layer": linear_params(sd, "input_layer.0"),
+        "input_norm": norm_params(sd, "input_layer.1", "layer"),
+        "output_layer": linear_params(sd, "output_layer.0"),
+    }
+    gates = ("i", "f", "g", "o")
+    for layer in range(num_hidden_layers):
+        w_ih = _t(sd[f"hidden.weight_ih_l{layer}"])   # (4h, in)
+        w_hh = _t(sd[f"hidden.weight_hh_l{layer}"])   # (4h, h)
+        b = (_t(sd[f"hidden.bias_ih_l{layer}"])
+             + _t(sd[f"hidden.bias_hh_l{layer}"]))    # (4h,)
+        h = w_hh.shape[1]
+        cell = {}
+        for gi, gate in enumerate(gates):
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{gate}"] = {"kernel": w_ih[sl].T}
+            cell[f"h{gate}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+        params[f"lstm_{layer}"] = cell
+    return params

@@ -149,3 +149,113 @@ class TestOnlineSoftmaxKernel:
         out = flash_mha(q, k, v, force_online=True, block_k=64, **args)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestStreamingBackward:
+    """k-blocked streaming backward (FlashAttention-2 style: LSE from the
+    forward, delta in XLA, dQ streams k blocks / dK,dV stream q blocks) vs
+    the XLA VJP of the identical math. Small blocks force many
+    accumulation crossings; s=512 with block 64 exercises an 8x8 block
+    grid including causal skipping on both kernels."""
+
+    def _grads(self, q, k, v, fn):
+        return jax.grad(lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_) ** 2),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_streaming_grads_match_xla(self, causal):
+        from meant_tpu.ops.flash.kernel import flash_mha
+        b, h, s, d = 1, 2, 512, 64
+        rng = np.random.RandomState(20)
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * .5)
+                   for _ in range(3))
+        scale = 1.0 / np.sqrt(d)
+
+        def fl(q_, k_, v_):
+            return flash_mha(q_, k_, v_, scale=scale, causal=causal,
+                             force_online=True, block_q=64, block_k=64)
+
+        def ref(q_, k_, v_):
+            return ops.attend(q_, k_, v_, scale=scale, causal=causal)
+
+        gf = self._grads(q, k, v, fl)
+        gr = self._grads(q, k, v, ref)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_streaming_grads_rotation_and_mask(self):
+        from meant_tpu.ops.flash.kernel import flash_mha
+        from meant_tpu.ops.flash.flash_attention import _tables
+        b, h, s, d = 1, 2, 256, 64
+        rng = np.random.RandomState(21)
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * .5)
+                   for _ in range(3))
+        freqs = ops.lang_freqs(32)
+        qcos, qsin, kcos, ksin = _tables(s, d, freqs, xpos=True,
+                                         scale_base=512.0)
+        mask = np.ones((b, s), np.float32)
+        mask[0, 200:] = 0
+        scale = 1.0 / np.sqrt(d * h)
+        args = dict(scale=scale, causal=True,
+                    attention_mask=jnp.asarray(mask),
+                    qcos=qcos, qsin=qsin, kcos=kcos, ksin=ksin)
+
+        def fl(q_, k_, v_):
+            return flash_mha(q_, k_, v_, force_online=True, block_q=64,
+                             block_k=64, **args)
+
+        def ref(q_, k_, v_):
+            qr, kr = ops.rotate_queries_and_keys(q_, k_, freqs, rot_dim=32)
+            return ops.attend(qr, kr, v_, scale=scale, causal=True,
+                              attention_mask=jnp.asarray(mask))
+
+        gf = self._grads(q, k, v, fl)
+        gr = self._grads(q, k, v, ref)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_streaming_grads_long_seq(self):
+        # s = 2048 with the default dispatch threshold overridden — the
+        # regime the streaming bwd exists for (s_k beyond VMEM residency).
+        from meant_tpu.ops.flash.kernel import flash_mha
+        b, h, s, d = 1, 1, 2048, 32
+        rng = np.random.RandomState(22)
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * .5)
+                   for _ in range(3))
+        scale = 1.0 / np.sqrt(d)
+
+        def fl(q_, k_, v_):
+            return flash_mha(q_, k_, v_, scale=scale, causal=True,
+                             force_online=True, block_q=256, block_k=256)
+
+        def ref(q_, k_, v_):
+            return ops.attend(q_, k_, v_, scale=scale, causal=True)
+
+        gf = self._grads(q, k, v, fl)
+        gr = self._grads(q, k, v, ref)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_streaming_bwd_non_multiple_block(self):
+        from meant_tpu.ops.flash.kernel import flash_mha
+        b, h, s, d = 1, 2, 196, 64
+        rng = np.random.RandomState(23)
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * .5)
+                   for _ in range(3))
+        scale = 1.0 / np.sqrt(d)
+
+        def fl(q_, k_, v_):
+            return flash_mha(q_, k_, v_, scale=scale, force_online=True,
+                             block_q=64, block_k=64)
+
+        def ref(q_, k_, v_):
+            return ops.attend(q_, k_, v_, scale=scale)
+
+        gf = self._grads(q, k, v, fl)
+        gr = self._grads(q, k, v, ref)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)

@@ -508,3 +508,215 @@ def test_true_reference_meant_tweet_price_parity():
         jnp.asarray(np.asarray(mask, np.float32))))
     diff = np.abs(out - ref_out).max()
     assert diff <= 1e-3, f"meantTweetPrice parity violated: {diff}"
+
+
+def test_true_reference_meant_tweet_parity():
+    """meant_tweet with the `final_resi` NameError (`meant/meant_tweet.py:81`,
+    DEFECTS #1) monkeypatched to the obvious `final_resid` — one-typo-away
+    parity for the otherwise-unrunnable reference model."""
+    _install_stubs()
+    import importlib
+    # `meant/__init__.py` rebinds the package attr `meant_tweet` to the
+    # CLASS — fetch the actual submodule
+    ref_mod = importlib.import_module("meant.meant_tweet")
+
+    def patched_forward(self, input, attention_mask=None):
+        inter = input
+        for mod in self.encode:
+            if type(mod).__name__ == 'xPosAttention':
+                inter = mod(inter, attention_mask)
+            else:
+                inter = mod(inter)
+        inter = inter + input
+        final_resid = inter
+        for mod in self.encode2:
+            inter = mod(inter)
+        return inter + final_resid  # reference line 81 typo fixed
+
+    orig = ref_mod.languageEncoder.forward
+    ref_mod.languageEncoder.forward = patched_forward
+    try:
+        from transformers.models.roberta.modeling_roberta import \
+            RobertaEmbeddings
+        from transformers import RobertaConfig
+        torch.manual_seed(7)
+        cfg = RobertaConfig(vocab_size=100, hidden_size=768,
+                            max_position_embeddings=40, type_vocab_size=1,
+                            pad_token_id=1, hidden_dropout_prob=0.0,
+                            layer_norm_eps=1e-5)
+        ref = ref_mod.meant_tweet(text_dim=768, price_dim=4, lag=5,
+                                  num_classes=2,
+                                  embedding=RobertaEmbeddings(cfg),
+                                  flash=False, num_heads=8,
+                                  num_encoders=1).eval()
+        rng = np.random.RandomState(7)
+        b, lag, s = 2, 5, 16
+        tweets = rng.randint(2, 100, size=(b, lag, s)).astype(np.int64)
+        mask = np.ones((b, lag, s), np.float32)
+        mask[:, :, 13:] = 0
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(tweets), torch.tensor(mask)).numpy()
+    finally:
+        ref_mod.languageEncoder.forward = orig
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig, meant_tweet
+    from meant_tpu.utils import port
+    params = port.import_meant_tweet(dict(ref.state_dict()), num_encoders=1)
+    model = meant_tweet(text_dim=768, price_dim=4, lag=5, num_classes=2,
+                        embedding=EmbeddingConfig(
+                            vocab_size=100, hidden_size=768,
+                            max_position_embeddings=40, dropout=0.0),
+                        num_heads=8, num_encoders=1)
+    out = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(tweets.astype(np.int32)),
+                                 jnp.asarray(mask)))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"meant_tweet reference parity violated: {diff}"
+
+
+def test_true_reference_meant_price_parity():
+    _install_stubs()
+    from src.meant.meantPrice import meant_price as ref_model
+
+    torch.manual_seed(8)
+    ref = ref_model(price_dim=5, lag=5, num_classes=2, num_heads=8,
+                    num_encoders=1).eval()
+    rng = np.random.RandomState(8)
+    prices = rng.randn(4, 5, 5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(prices=torch.tensor(prices)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models import meant_price
+    from meant_tpu.utils import port
+    params = port.import_meant_price(dict(ref.state_dict()))
+    model = meant_price(price_dim=5, lag=5, num_classes=2, num_heads=8)
+    out = np.asarray(model.apply({"params": params},
+                                 prices=jnp.asarray(prices)))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"meant_price reference parity violated: {diff}"
+
+
+def test_true_reference_temporal2_parity():
+    """temporal_2 (`src/meant/temporal_new.py:7-69`) vs TemporalAttention2
+    at ported weights, with a padding mask."""
+    _install_stubs()
+    from src.meant.temporal_new import temporal_2 as ref_cls
+
+    torch.manual_seed(9)
+    b, lag, s, d, h = 2, 5, 8, 32, 4
+    ref = ref_cls(num_heads=h, dim=d, sequence_length=s, lag=lag).eval()
+    rng = np.random.RandomState(9)
+    x = rng.randn(b, lag, s, d).astype(np.float32)
+    mask = np.ones((b, lag, s), np.float32)
+    mask[0, :, 6:] = 0
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x),
+                      attention_mask=torch.tensor(mask)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.nn.attention_modules import TemporalAttention2
+    from meant_tpu.utils import port
+    params = port.import_temporal2(dict(ref.state_dict()))
+    mod = TemporalAttention2(num_heads=h, dim=d, lag=lag,
+                             sequence_length=s)
+    out = np.asarray(mod.apply({"params": params}, jnp.asarray(x),
+                               jnp.asarray(mask)))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"temporal_2 reference parity violated: {diff}"
+
+
+def test_true_reference_mlp_encoder_parity():
+    _install_stubs()
+    from src.meant.simple_mlp import mlpEncoder as ref_cls
+
+    torch.manual_seed(10)
+    ref = ref_cls(input_dim=5, output_dim=2, hidden_dim=16).eval()
+    rng = np.random.RandomState(10)
+    prices = rng.randn(4, 5, 5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(prices=torch.tensor(prices)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models import mlpEncoder
+    from meant_tpu.utils import port
+    params = port.import_mlp_encoder(dict(ref.state_dict()))
+    model = mlpEncoder(input_dim=5, output_dim=2, hidden_dim=16)
+    out = np.asarray(model.apply({"params": params},
+                                 prices=jnp.asarray(prices)))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"mlpEncoder reference parity violated: {diff}"
+
+
+def test_true_reference_lstm_encoder_parity():
+    """LSTMEncoder incl. the reference's batch-axis-as-time quirk
+    (`src/meant/simple_mlp.py:39,46`: (b, lag, h) into nn.LSTM without
+    batch_first)."""
+    _install_stubs()
+    from src.meant.simple_mlp import LSTMEncoder as ref_cls
+
+    torch.manual_seed(11)
+    ref = ref_cls(input_dim=5, output_dim=2, hidden_dim=16).eval()
+    rng = np.random.RandomState(11)
+    prices = rng.randn(4, 5, 5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(prices=torch.tensor(prices)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models import LSTMEncoder
+    from meant_tpu.utils import port
+    params = port.import_lstm_encoder(dict(ref.state_dict()))
+    model = LSTMEncoder(input_dim=5, output_dim=2, hidden_dim=16)
+    out = np.asarray(model.apply({"params": params},
+                                 prices=jnp.asarray(prices)))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"LSTMEncoder reference parity violated: {diff}"
+
+
+def test_true_reference_meant12_full_geometry_parity():
+    """Depth-12, FULL-geometry meant (s=128, 224x224, 8 heads, dim 768) —
+    the MEANT-12 configuration of BASELINE.json, checking depth-accumulated
+    drift that the depth-1 tiny-shape tests cannot see."""
+    _install_stubs()
+    from meant.meant import meant as ref_meant
+
+    from transformers.models.roberta.modeling_roberta import \
+        RobertaEmbeddings
+    from transformers import RobertaConfig
+    torch.manual_seed(12)
+    cfg = RobertaConfig(vocab_size=200, hidden_size=768,
+                        max_position_embeddings=140, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0,
+                        layer_norm_eps=1e-5)
+    ref = ref_meant(text_dim=768, image_dim=768, price_dim=4, height=224,
+                    width=224, patch_res=16, lag=5, num_classes=2,
+                    embedding=RobertaEmbeddings(cfg), flash=False,
+                    num_heads=8, num_encoders=12, channels=4).eval()
+
+    rng = np.random.RandomState(12)
+    b, lag, s = 1, 5, 128
+    tweets = rng.randint(2, 200, size=(b, lag, s)).astype(np.int64)
+    tweets[:, :, 100:] = 1
+    mask = np.ones((b, lag, s), np.float32)
+    mask[:, :, 100:] = 0
+    images = (rng.randn(b, lag, 4, 224, 224) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(tweets), torch.tensor(images),
+                      torch.tensor(mask)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig, meant as tpu_meant
+    from meant_tpu.utils import port
+    params = port.import_meant(dict(ref.state_dict()), num_encoders=12)
+    model = tpu_meant(text_dim=768, image_dim=768, price_dim=4, height=224,
+                      width=224, patch_res=16, lag=5, num_classes=2,
+                      embedding=EmbeddingConfig(
+                          vocab_size=200, hidden_size=768,
+                          max_position_embeddings=140, dropout=0.0),
+                      num_heads=8, num_encoders=12, channels=4)
+    out = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(tweets.astype(np.int32)),
+                                 jnp.asarray(images), jnp.asarray(mask)))
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"MEANT-12 full-geometry parity violated: {diff}"
