@@ -138,17 +138,19 @@ class roberta_mlm_wrapper(nn.Module):
 
 
 class vl_BERT_Wrapper(nn.Module):
-    """VisualBERT-style baseline (`meant/hf_wrapper.py:7-39`): 4-channel
-    16x16 patches -> Linear to visual_embeds (2048 -> hidden via a visual
-    projection), concatenated with text embeddings into one BERT stream,
-    tanh pooler -> [Linear, Sigmoid].
+    """vl_BERT_Wrapper (`meant/hf_wrapper.py:7-39`) around the FAITHFUL
+    VisualBertModel (meant_tpu.nn.hf_baselines, torch-parity tested):
+    4-channel 16x16 patches -> Linear(patch_dim, 2048) visual_embeds ->
+    VisualBERT -> pooler -> dropout -> [Linear, Sigmoid].
 
-    Faithful to the wrapper's documented I/O quirks: the reference passes
-    token_type_ids of ONES for text and an all-ZERO text attention mask
-    (`hf_wrapper.py:26`) — visual tokens carry all the pooled signal."""
+    Reference I/O quirks preserved: token_type_ids of ONES for text, an
+    all-ZERO text attention mask (`hf_wrapper.py:26`), visual token-type /
+    attention all ones. Backbone weights import from an HF
+    `VisualBertModel` checkpoint via port.import_visual_bert (geometry
+    defaults = uclanlp/visualbert-vqa-coco-pre)."""
     input_dim: int = 768
     output_dim: int = 2
-    vocab_size: int = 64001
+    vocab_size: int = 30522
     num_layers: int = 12
     num_heads: int = 12
     visual_embed_dim: int = 2048
@@ -158,29 +160,21 @@ class vl_BERT_Wrapper(nn.Module):
 
     @nn.compact
     def __call__(self, tweets, images, deterministic: bool = True):
+        from meant_tpu.nn.hf_baselines import VisualBertModel
         from meant_tpu.ops import patchify
-        b = tweets.shape[0]
         patches = patchify(images, self.patch_res)
-        patch_dim = self.channels * self.patch_res ** 2
         visual = nn.Dense(self.visual_embed_dim, dtype=self.dtype,
                           name="patches")(patches)
-        visual = nn.Dense(self.input_dim, dtype=self.dtype,
-                          name="visual_projection")(visual)
-        emb = RobertaEmbeddings(vocab_size=self.vocab_size,
-                                hidden_size=self.input_dim,
-                                dtype=self.dtype, name="embeddings")
-        text = emb(tweets, deterministic=deterministic)
-        x = jnp.concatenate((text, visual.astype(text.dtype)), axis=1)
-        # text mask zero (reference quirk), visual mask one
-        mask = jnp.concatenate(
-            (jnp.zeros(tweets.shape, jnp.float32),
-             jnp.ones(visual.shape[:-1], jnp.float32)), axis=1)
-        hidden, pooled = RobertaModel(
+        _, pooled = VisualBertModel(
             vocab_size=self.vocab_size, hidden_size=self.input_dim,
             num_layers=self.num_layers, num_heads=self.num_heads,
-            intermediate_size=4 * self.input_dim, dtype=self.dtype,
-            name="bert")(inputs_embeds=x, attention_mask=mask,
-                         deterministic=deterministic)
+            intermediate_size=4 * self.input_dim,
+            visual_embedding_dim=self.visual_embed_dim, dtype=self.dtype,
+            name="model")(
+                tweets,
+                attention_mask=jnp.zeros(tweets.shape, jnp.float32),
+                token_type_ids=jnp.ones(tweets.shape, jnp.int32),
+                visual_embeds=visual, deterministic=deterministic)
         pooled = nn.Dropout(0.1, name="drop")(pooled,
                                               deterministic=deterministic)
         logits = nn.Dense(self.output_dim, dtype=self.dtype,
@@ -189,39 +183,38 @@ class vl_BERT_Wrapper(nn.Module):
 
 
 class ViltWrapper(nn.Module):
-    """ViLT-style baseline (`meant/hf_wrapper.py:41-72`): 4-channel 32x32
-    conv patch embedding (the reference swaps ViLT's projection to 4
-    channels, `hf_wrapper.py:46`) + text embeddings in one transformer,
-    pooler -> [Linear, Sigmoid]. Text attention mask zero (reference quirk)."""
+    """ViltWrapper (`meant/hf_wrapper.py:41-72`) around the FAITHFUL
+    ViltModel (meant_tpu.nn.hf_baselines, torch-parity tested): the patch
+    conv swapped to 4 channels exactly like the reference
+    (`hf_wrapper.py:46` — that conv is random-init even with pretrained
+    weights), pooler -> dropout -> [Linear, Sigmoid]. Text attention mask
+    zero + token_type ones (reference quirks). Geometry defaults =
+    dandelin/vilt-b32-mlm."""
     input_dim: int = 768
     output_dim: int = 2
-    vocab_size: int = 64001
+    vocab_size: int = 30522
     num_layers: int = 12
     num_heads: int = 12
+    max_position_embeddings: int = 40
+    image_size: int = 384
     patch_res: int = 32
     channels: int = 4
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, tweets, images, deterministic: bool = True):
-        from meant_tpu.ops import patchify
-        patches = patchify(images, self.patch_res)  # conv k=s=32 == patchify
-        visual = nn.Dense(self.input_dim, dtype=self.dtype,
-                          name="patch_projection")(patches)
-        emb = RobertaEmbeddings(vocab_size=self.vocab_size,
-                                hidden_size=self.input_dim,
-                                dtype=self.dtype, name="embeddings")
-        text = emb(tweets, deterministic=deterministic)
-        x = jnp.concatenate((text, visual.astype(text.dtype)), axis=1)
-        mask = jnp.concatenate(
-            (jnp.zeros(tweets.shape, jnp.float32),
-             jnp.ones(visual.shape[:-1], jnp.float32)), axis=1)
-        hidden, pooled = RobertaModel(
+        from meant_tpu.nn.hf_baselines import ViltModel
+        _, pooled = ViltModel(
             vocab_size=self.vocab_size, hidden_size=self.input_dim,
             num_layers=self.num_layers, num_heads=self.num_heads,
-            intermediate_size=4 * self.input_dim, dtype=self.dtype,
-            name="vilt")(inputs_embeds=x, attention_mask=mask,
-                         deterministic=deterministic)
+            intermediate_size=4 * self.input_dim,
+            max_position_embeddings=self.max_position_embeddings,
+            image_size=self.image_size, patch_size=self.patch_res,
+            num_channels=self.channels, dtype=self.dtype, name="vilt")(
+                tweets, images,
+                attention_mask=jnp.zeros(tweets.shape, jnp.float32),
+                token_type_ids=jnp.ones(tweets.shape, jnp.int32),
+                deterministic=deterministic)
         pooled = nn.Dropout(0.1, name="drop")(pooled,
                                               deterministic=deterministic)
         logits = nn.Dense(self.output_dim, dtype=self.dtype,

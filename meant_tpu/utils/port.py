@@ -587,3 +587,110 @@ def import_lstm_encoder(sd: Mapping, num_hidden_layers: int = 3) -> Dict:
             cell[f"h{gate}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
         params[f"lstm_{layer}"] = cell
     return params
+
+
+def _mha_proj(sd: Mapping, prefix: str, num_heads: int) -> Dict:
+    """torch (d, d) attention projection -> flax MHA per-head kernels."""
+    w = _t(sd[f"{prefix}.weight"]).T
+    b = _t(sd[f"{prefix}.bias"])
+    d = w.shape[0]
+    dh = d // num_heads
+    return {"kernel": w.reshape(d, num_heads, dh),
+            "bias": b.reshape(num_heads, dh)}
+
+
+def _mha_out(sd: Mapping, prefix: str, num_heads: int) -> Dict:
+    w = _t(sd[f"{prefix}.weight"]).T
+    d = w.shape[1]
+    dh = d // num_heads
+    return {"kernel": w.reshape(num_heads, dh, d),
+            "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def import_visual_bert(sd: Mapping, num_layers: int,
+                       num_heads: int = 12) -> Dict:
+    """HF `VisualBertModel` state_dict -> meant_tpu.nn.hf_baselines.
+    VisualBertModel params (text+visual embeddings, BERT layers, pooler)."""
+    e = "embeddings."
+    params = {
+        "text_embeddings": {
+            "word_embeddings": _t(sd[f"{e}word_embeddings.weight"]),
+            "position_embeddings": _t(sd[f"{e}position_embeddings.weight"]),
+            "token_type_embeddings":
+                _t(sd[f"{e}token_type_embeddings.weight"]),
+        },
+        "visual_projection": {
+            "kernel": _t(sd[f"{e}visual_projection.weight"]).T,
+            "bias": _t(sd[f"{e}visual_projection.bias"]),
+        },
+        "visual_position_embeddings":
+            _t(sd[f"{e}visual_position_embeddings.weight"]),
+        "visual_token_type_embeddings":
+            _t(sd[f"{e}visual_token_type_embeddings.weight"]),
+        "embeddings_norm": {"scale": _t(sd[f"{e}LayerNorm.weight"]),
+                            "bias": _t(sd[f"{e}LayerNorm.bias"])},
+        "pooler": {"kernel": _t(sd["pooler.dense.weight"]).T,
+                   "bias": _t(sd["pooler.dense.bias"])},
+    }
+    for i in range(num_layers):
+        params[f"layer_{i}"] = roberta_layer_params(
+            sd, f"encoder.layer.{i}", num_heads)
+    return params
+
+
+def import_vilt(sd: Mapping, num_layers: int, num_heads: int = 12) -> Dict:
+    """HF `ViltModel` state_dict -> meant_tpu.nn.hf_baselines.ViltModel
+    params. ViLT layer naming: attention.attention.{query,key,value} +
+    attention.output.dense (pre-LN: layernorm_before/after, no residual
+    norms); conv patch kernel (out,in,kh,kw) -> (kh,kw,in,out)."""
+    e = "embeddings."
+    te = f"{e}text_embeddings."
+    params = {
+        "text_embeddings": {
+            "word_embeddings": _t(sd[f"{te}word_embeddings.weight"]),
+            "position_embeddings":
+                _t(sd[f"{te}position_embeddings.weight"]),
+            "token_type_embeddings":
+                _t(sd[f"{te}token_type_embeddings.weight"]),
+            "norm": {"scale": _t(sd[f"{te}LayerNorm.weight"]),
+                     "bias": _t(sd[f"{te}LayerNorm.bias"])},
+        },
+        "cls_token": _t(sd[f"{e}cls_token"]),
+        "position_embeddings": _t(sd[f"{e}position_embeddings"]),
+        "token_type_embeddings": _t(sd[f"{e}token_type_embeddings.weight"]),
+        "patch_projection": {
+            "kernel": _t(sd[f"{e}patch_embeddings.projection.weight"])
+            .transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{e}patch_embeddings.projection.bias"]),
+        },
+        "layernorm": {"scale": _t(sd["layernorm.weight"]),
+                      "bias": _t(sd["layernorm.bias"])},
+        "pooler": {"kernel": _t(sd["pooler.dense.weight"]).T,
+                   "bias": _t(sd["pooler.dense.bias"])},
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": _mha_proj(sd, f"{p}.attention.attention.query",
+                                   num_heads),
+                "key": _mha_proj(sd, f"{p}.attention.attention.key",
+                                 num_heads),
+                "value": _mha_proj(sd, f"{p}.attention.attention.value",
+                                   num_heads),
+                "out": _mha_out(sd, f"{p}.attention.output.dense",
+                                num_heads),
+            },
+            "layernorm_before": {
+                "scale": _t(sd[f"{p}.layernorm_before.weight"]),
+                "bias": _t(sd[f"{p}.layernorm_before.bias"])},
+            "layernorm_after": {
+                "scale": _t(sd[f"{p}.layernorm_after.weight"]),
+                "bias": _t(sd[f"{p}.layernorm_after.bias"])},
+            "intermediate": {
+                "kernel": _t(sd[f"{p}.intermediate.dense.weight"]).T,
+                "bias": _t(sd[f"{p}.intermediate.dense.bias"])},
+            "output": {"kernel": _t(sd[f"{p}.output.dense.weight"]).T,
+                       "bias": _t(sd[f"{p}.output.dense.bias"])},
+        }
+    return params
