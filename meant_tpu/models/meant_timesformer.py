@@ -168,14 +168,43 @@ class meant_mean_pooling(_TimesformerBase):
                        dtype=self.dtype, name="mlpHead")(fused)
 
 
+def _permute1d_pe(seq_plus_cls: int, d_model: int) -> jnp.ndarray:
+    """The reference's positional encoding, quirks included
+    (`meant_mosi.py:324-327`): `Summer(PositionalEncodingPermute1D(s+1))`
+    on a (b, s+1, d) CHANNELS-LAST tensor. PositionalEncodingPermute1D
+    expects (b, ch, x) — so the library runs its sin||cos table over the
+    d_model FEATURE axis as "positions" with s+1 "channels", i.e. the PE
+    lands transposed. pe[p, c] with p in [0, s+1), c in [0, d_model):
+    table[c, p] where table = [sin(pos*invfreq) || cos(pos*invfreq)] over
+    ch = round_up(s+1, 2) channels, truncated to s+1."""
+    ch = -(-(seq_plus_cls) // 2) * 2
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0, ch, 2, dtype=jnp.float32)
+                                / ch))
+    pos = jnp.arange(d_model, dtype=jnp.float32)
+    ang = pos[:, None] * inv_freq[None, :]            # (d_model, ch/2)
+    # get_emb: stack(sin, cos) last-dim then flatten => INTERLEAVED pairs
+    # (positional_encodings >= 5.x semantics)
+    table = jnp.stack((jnp.sin(ang), jnp.cos(ang)),
+                      axis=-1).reshape(d_model, ch)
+    return table[:, :seq_plus_cls].T                   # (s+1, d_model)
+
+
 class AudioEncoder(nn.Module):
     """MOSI audio branch (`meant_mosi.py:294-307,324-328`): learned cls
-    embedding prepended, 1-D sinusoidal positional encoding, 3-layer
-    post-norm transformer encoder (d=130, 2 heads, ff 512)."""
+    embedding prepended, the transposed Permute1D positional encoding (see
+    _permute1d_pe), 3-layer post-norm transformer encoder (d=130, 2 heads,
+    ff 512, relu).
+
+    DOCUMENTED REFERENCE QUIRK (default-on): the reference passes the
+    collator's 1=valid mask as torch `src_key_padding_mask`, whose
+    convention is True=PAD — so the reference attends exactly the PADDING
+    positions (plus the always-kept cls). `torch_mask_quirk=False` uses the
+    sane 1=attend convention."""
     d_model: int = 130
     nhead: int = 2
     num_layers: int = 3
     dim_feedforward: int = 512
+    torch_mask_quirk: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -187,18 +216,14 @@ class AudioEncoder(nn.Module):
             (jnp.broadcast_to(cls, (b, 1, self.d_model)).astype(audio.dtype),
              audio), axis=1)
         if audio_mask is not None:
+            if self.torch_mask_quirk:
+                audio_mask = 1.0 - audio_mask.astype(jnp.float32)
             audio_mask = jnp.concatenate(
-                (jnp.ones((b, 1), audio_mask.dtype), audio_mask), axis=1)
-        # sinusoidal PE over positions (channels-last)
-        pos = jnp.arange(s + 1)[:, None].astype(jnp.float32)
-        div = jnp.exp(jnp.arange(0, self.d_model, 2, dtype=jnp.float32)
-                      * (-math.log(10000.0) / self.d_model))
-        pe = jnp.zeros((s + 1, self.d_model), jnp.float32)
-        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
-        pe = pe.at[:, 1::2].set(jnp.cos(pos * div)[:, : (self.d_model // 2)])
-        x = x + pe.astype(x.dtype)
+                (jnp.ones((b, 1), jnp.float32),
+                 audio_mask.astype(jnp.float32)), axis=1)
+        x = x + _permute1d_pe(s + 1, self.d_model).astype(x.dtype)
         for i in range(self.num_layers):
-            # torch TransformerEncoderLayer (post-norm)
+            # torch TransformerEncoderLayer (post-norm, relu)
             h = nn.MultiHeadDotProductAttention(
                 num_heads=self.nhead, dtype=self.dtype,
                 name=f"attn_{i}")(x, x, mask=(
@@ -239,9 +264,12 @@ class meant_mosi(nn.Module):
             words = _embedding(self.embedding, self.dtype)(
                 words, deterministic=deterministic)
         for i in range(self.num_encoders):
+            # MOSI's languageEncoder builds RotaryEmbedding(dim=30) — not
+            # the usual 48 (`src/meant/meant_mosi.py:109-113`)
             words = LanguageEncoder(
                 self.text_dim, self.num_heads, norm="layer", ff_norm2="rms",
-                init_style="xavier", flash=self.flash, dtype=self.dtype,
+                init_style="xavier", flash=self.flash, rot_dim=30,
+                dtype=self.dtype,
                 name=f"languageEncoders_{i}")(
                     words, attention_mask, deterministic=deterministic)
 

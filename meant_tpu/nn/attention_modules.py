@@ -62,7 +62,7 @@ class XPosAttention(nn.Module):
     def __call__(self, x, attention_mask=None):
         h, d = self.num_heads, self.dim
         dh = d // h
-        rot_dim = self.rot_dim if self.rot_dim is not None else min(48, dh)
+        rot_dim = min(self.rot_dim if self.rot_dim is not None else 48, dh)
         scale = self.scale if self.scale is not None else 1.0 / math.sqrt(d)
         freqs = _freqs_param(self, "freqs", ops.lang_freqs(rot_dim))
         freqs = jax.lax.stop_gradient(freqs)

@@ -47,6 +47,7 @@ class LanguageEncoder(nn.Module):
     flash: bool = False
     mask_in_flash: bool = False
     causal: bool = True
+    rot_dim: Optional[int] = None  # xPos rotated width (48 default; MOSI 30)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -60,6 +61,7 @@ class LanguageEncoder(nn.Module):
         if self.flash and not self.mask_in_flash:
             mask = None  # reference drops the mask on the flash path
         inter = XPosAttention(self.num_heads, d, causal=self.causal,
+                              rot_dim=self.rot_dim,
                               init_style=self.init_style, flash=self.flash,
                               dtype=self.dtype, name="attn")(inter, mask)
         inter = make_norm(self.norm, d, "norm2")(inter)

@@ -694,3 +694,38 @@ def import_vilt(sd: Mapping, num_layers: int, num_heads: int = 12) -> Dict:
                        "bias": _t(sd[f"{p}.output.dense.bias"])},
         }
     return params
+
+
+def import_audio_encoder(sd: Mapping, num_layers: int = 3, nhead: int = 2,
+                         emb_prefix: str = "audio_emb.",
+                         enc_prefix: str = "audio_encoder.") -> Dict:
+    """MOSI audio branch (`src/meant/meant_mosi.py:294-307`): torch
+    nn.TransformerEncoder (packed in_proj qkv) + the cls nn.Embedding ->
+    meant_tpu AudioEncoder params."""
+    params = {"cls_emb": _t(sd[f"{emb_prefix}weight"]).reshape(1, 1, -1)}
+    for i in range(num_layers):
+        p = f"{enc_prefix}layers.{i}."
+        w = _t(sd[f"{p}self_attn.in_proj_weight"])       # (3d, d)
+        b = _t(sd[f"{p}self_attn.in_proj_bias"])
+        d = w.shape[1]
+        dh = d // nhead
+        for name, sl in (("q", slice(0, d)), ("k", slice(d, 2 * d)),
+                         ("v", slice(2 * d, 3 * d))):
+            params.setdefault(f"attn_{i}", {})[
+                {"q": "query", "k": "key", "v": "value"}[name]] = {
+                "kernel": w[sl].T.reshape(d, nhead, dh),
+                "bias": b[sl].reshape(nhead, dh),
+            }
+        ow = _t(sd[f"{p}self_attn.out_proj.weight"]).T
+        params[f"attn_{i}"]["out"] = {
+            "kernel": ow.reshape(nhead, dh, d),
+            "bias": _t(sd[f"{p}self_attn.out_proj.bias"])}
+        params[f"ff1_{i}"] = {"kernel": _t(sd[f"{p}linear1.weight"]).T,
+                              "bias": _t(sd[f"{p}linear1.bias"])}
+        params[f"ff2_{i}"] = {"kernel": _t(sd[f"{p}linear2.weight"]).T,
+                              "bias": _t(sd[f"{p}linear2.bias"])}
+        params[f"norm1_{i}"] = {"scale": _t(sd[f"{p}norm1.weight"]),
+                                "bias": _t(sd[f"{p}norm1.bias"])}
+        params[f"norm2_{i}"] = {"scale": _t(sd[f"{p}norm2.weight"]),
+                                "bias": _t(sd[f"{p}norm2.bias"])}
+    return params
