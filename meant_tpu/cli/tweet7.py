@@ -1,0 +1,76 @@
+"""tweetner7 NER harness — named equivalent of `src/hug/tweet7.py`
+(token classification on tner/tweetner7's *_2021 splits; NOT text
+classification — the reference file trains AutoModelForTokenClassification
+on tokens/tags).
+
+Reference flag set preserved (`tweet7.py:340-376`): -js/--join_size,
+-crf/--crf (NotImplementedError, faithful to `tweet7.py:391-392`),
+-lrwp/--lr_warmup_step_ratio with the linear_warmup per-step schedule
+(`tweet7.py:433,444-445`). Data: --data_dir with ner_tokens.json
+([{"tokens": [...], "tags": [...]}, ...]) or ner_prepared.npz; synthetic in
+smoke mode."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from meant_tpu.cli.in_loop_genia import genia_parser, load_data
+from meant_tpu.data import ArrayLoader
+from meant_tpu.parallel import make_mesh
+from meant_tpu.train.ner import TokenClassifier, ner_trainer
+
+
+def tweet7_parser():
+    p = genia_parser()
+    p.add_argument("-crf", "--crf", type=bool, default=False,
+                   help="Conditional Random Field?")
+    p.add_argument("-lrwp", "--lr_warmup_step_ratio", type=float,
+                   default=0.0,
+                   help="Warmup ratio for our learning rate scheduler")
+    p.set_defaults(model_name="bert_ner", dataset="tweet7")
+    return p
+
+
+def main(argv=None):
+    args = tweet7_parser().parse_args(argv)
+    if args.crf:
+        # faithful to the reference (`tweet7.py:391-392`)
+        raise NotImplementedError("Conditional random fields not implemented")
+    data = load_data(args)
+    n_val = max(len(data["labels"]) // 10, 1)
+    train = {k: v[n_val:] for k, v in data.items()}
+    val = {k: v[:n_val] for k, v in data.items()}
+    steps_per_epoch = max(len(train["labels"]) // args.train_batch_size, 1)
+    total_steps = steps_per_epoch * args.num_epochs
+    model = TokenClassifier(
+        num_labels=args.num_classes, vocab_size=args.vocab_size,
+        hidden_size=args.text_dim, num_layers=args.num_encoders,
+        num_heads=args.num_heads, dropout=args.dropout,
+        dtype=jnp.bfloat16 if args.bf16 else None)
+    trainer = ner_trainer({
+        "model": model, "model_name": args.model_name, "dataset": "tweet7",
+        "train_data": ArrayLoader(train, args.train_batch_size,
+                                  shuffle=True),
+        "val_data": ArrayLoader(val, max(args.eval_batch_size,
+                                         args.train_batch_size)),
+        "epochs": args.num_epochs, "lr": args.learning_rate,
+        "decay": args.decay, "beta_1": args.beta_1, "beta_2": args.beta_2,
+        "lrst": args.learning_rate_scheduler_type, "t0": args.t0,
+        "tmax": args.tmax, "optimizer": args.optimizer,
+        "warmup_steps": int(total_steps * args.lr_warmup_step_ratio),
+        "total_steps": total_steps,
+        "file_path": args.file_path, "run_id": args.run_id,
+        "num_encoders": args.num_encoders, "mesh": make_mesh(),
+    })
+    hist = trainer.train()
+    metrics = trainer.token_f1(
+        ArrayLoader(val, max(args.eval_batch_size, args.train_batch_size)),
+        args.num_classes)
+    print("Macro test f1:", metrics["f1_macro"])
+    return hist, metrics
+
+
+if __name__ == "__main__":
+    main()

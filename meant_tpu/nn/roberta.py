@@ -220,3 +220,31 @@ class ViltWrapper(nn.Module):
         logits = nn.Dense(self.output_dim, dtype=self.dtype,
                           name="mlp_head")(pooled)
         return jax.nn.sigmoid(logits)
+
+
+class hug_roberta_mlm_wrapper(nn.Module):
+    """`src/hug/pretrain_mlm.py:110-123`: roberta last_hidden_state ->
+    [GELU, Linear(hidden, 1)] -> squeeze — one SCALAR per token (unlike the
+    top-level wrapper at `meant/hf_wrapper.py:96-109`, which has no GELU).
+    The hug harness trains it with CrossEntropyLoss against float labels —
+    torch's probability-target mode over the SEQUENCE axis (degenerate
+    "MLM"; replicated in cli/hug_pretrain_mlm)."""
+    input_dim: int = 768
+    vocab_size: int = 64001
+    num_layers: int = 12
+    num_heads: int = 12
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None,
+                 deterministic: bool = True):
+        hidden = RobertaModel(
+            vocab_size=self.vocab_size, hidden_size=self.input_dim,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            intermediate_size=4 * self.input_dim, dtype=self.dtype,
+            name="roberta")(input_ids, attention_mask,
+                            deterministic=deterministic,
+                            return_pooled=False)
+        out = nn.Dense(1, dtype=self.dtype, name="mlm_output_head")(
+            gelu(hidden))
+        return out.squeeze(-1)

@@ -109,3 +109,24 @@ class ner_trainer(_BasePretrainer):
             for t, p in zip(labels[valid].ravel(), preds[valid].ravel()):
                 cm[t, p] += 1
         return metrics_from_confusion(cm)
+
+
+def join_examples(tokens_list, tags_list, join_size: int):
+    """`join_examples` (`src/hug/in_loop_genia.py:101-115`,
+    `src/hug/tweet7.py:106-120`): concatenate each group of `join_size`
+    consecutive examples into one training example (more non-O tags per
+    example). QUIRK replicated: the reference concatenates group-RELATIVE
+    indices 0..join_size-1 of the SLICE it was handed — callers here pass
+    per-group slices, which is the behavior the reference achieves when
+    join_size == slice length."""
+    out_tokens, out_tags = [], []
+    n = len(tokens_list)
+    for i in range(0, n - join_size + 1, join_size):
+        toks = list(tokens_list[i])
+        tags = list(tags_list[i])
+        for x in range(1, join_size):
+            toks += list(tokens_list[i + x])
+            tags += list(tags_list[i + x])
+        out_tokens.append(toks)
+        out_tags.append(tags)
+    return out_tokens, out_tags

@@ -44,9 +44,13 @@ def _trainable_mask(params):
 
 
 def epoch_schedule(kind: str, base_lr: float, t0: int = 7, tmax: int = 10,
-                   steps_per_epoch: int = 1):
+                   steps_per_epoch: int = 1, warmup_steps: int = 0,
+                   total_steps: int = 0):
     """Returns an optax schedule over STEPS that reproduces torch's per-epoch
-    schedule values (the factor changes only at epoch boundaries)."""
+    schedule values (the factor changes only at epoch boundaries).
+    `linear_warmup` is the exception: HF get_linear_schedule_with_warmup is
+    per-STEP (`src/hug/tweet7.py:444-445`) — 0 -> base over warmup_steps,
+    then linearly down to 0 at total_steps."""
 
     def factor(epoch: float) -> float:
         if kind == "cosine_warm":
@@ -58,6 +62,12 @@ def epoch_schedule(kind: str, base_lr: float, t0: int = 7, tmax: int = 10,
             # torch LinearLR defaults: start_factor=1/3, total_iters=5
             t = min(epoch, 5)
             return 1.0 / 3 + (1.0 - 1.0 / 3) * (t / 5)
+        if kind == "linear_warmup":
+            step = epoch * steps_per_epoch
+            if warmup_steps and step < warmup_steps:
+                return step / warmup_steps
+            denom = max(total_steps - warmup_steps, 1)
+            return max(0.0, (total_steps - step) / denom)
         if kind == "constant":
             return 1.0
         raise ValueError(f"unsupported scheduler {kind}")
@@ -74,6 +84,12 @@ def epoch_schedule(kind: str, base_lr: float, t0: int = 7, tmax: int = 10,
         elif kind == "linear":
             t = jnp.minimum(e, 5.0)
             f = 1.0 / 3 + (2.0 / 3) * (t / 5)
+        elif kind == "linear_warmup":
+            s = step.astype(jnp.float32)
+            wu = jnp.maximum(float(warmup_steps), 1.0)
+            denom = float(max(total_steps - warmup_steps, 1))
+            f = jnp.where(s < warmup_steps, s / wu,
+                          jnp.maximum(0.0, (total_steps - s) / denom))
         elif kind == "constant":
             f = jnp.ones_like(e)
         else:
@@ -89,10 +105,12 @@ def build_optimizer(params, optimizer: str = "AdamW",
                     beta_1: float = 0.9, beta_2: float = 0.999,
                     lr_scheduler: str = "cosine_warm", t0: int = 7,
                     tmax: int = 10, steps_per_epoch: int = 1,
+                    warmup_steps: int = 0, total_steps: int = 0,
                     clip_norm: Optional[float] = 1.0,
                     schedule=None) -> optax.GradientTransformation:
     sched = schedule or epoch_schedule(lr_scheduler, learning_rate, t0, tmax,
-                                       steps_per_epoch)
+                                       steps_per_epoch, warmup_steps,
+                                       total_steps)
     mask = _trainable_mask(params)
     if optimizer == "AdamW":
         opt = optax.adamw(sched, b1=beta_1, b2=beta_2, weight_decay=decay,

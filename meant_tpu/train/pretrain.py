@@ -75,7 +75,9 @@ class _BasePretrainer:
             beta_1=p.get("beta_1", 0.9), beta_2=p.get("beta_2", 0.999),
             lr_scheduler=p.get("lrst", "cosine_warm"),
             t0=p.get("t0", 7), tmax=p.get("tmax", 10),
-            steps_per_epoch=max(len(self.train_data), 1))
+            steps_per_epoch=max(len(self.train_data), 1),
+            warmup_steps=p.get("warmup_steps", 0),
+            total_steps=p.get("total_steps", 0))
         self.state = None
         self._jit_train = None
         self._jit_eval = None

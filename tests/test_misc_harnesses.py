@@ -56,3 +56,61 @@ def test_eval_harness_smoke(tmp_path):
         "--bf16", "false", "--text_dim", "32", "--image_dim", "32",
         "--vocab_size", "128", "--num_heads", "4", "-fp", str(tmp_path)])
     assert "f1_macro" in metrics
+
+
+def test_in_loop_genia_smoke(tmp_path):
+    from meant_tpu.cli import in_loop_genia
+    hist, metrics = in_loop_genia.main([
+        "-rid", "31", "-ne", "1", "-nec", "1", "-tb", "8", "-js", "2",
+        "-fp", str(tmp_path), "--synthetic_n", "24", "--seq_len", "16",
+        "--bf16", "false", "-lrst", "constant", "--text_dim", "32",
+        "--vocab_size", "128", "--num_heads", "4"])
+    assert len(hist) == 1 and "f1_macro" in metrics
+
+
+def test_tweet7_smoke(tmp_path):
+    from meant_tpu.cli import tweet7
+    hist, metrics = tweet7.main([
+        "-rid", "32", "-ne", "1", "-nec", "1", "-tb", "8",
+        "-lrst", "linear_warmup", "-lrwp", "0.1",
+        "-fp", str(tmp_path), "--synthetic_n", "24", "--seq_len", "16",
+        "--bf16", "false", "--text_dim", "32",
+        "--vocab_size", "128", "--num_heads", "4"])
+    assert len(hist) == 1 and "f1_macro" in metrics
+
+
+def test_tweet7_crf_not_implemented(tmp_path):
+    import pytest
+    from meant_tpu.cli import tweet7
+    with pytest.raises(NotImplementedError):
+        tweet7.main(["-rid", "33", "-fp", str(tmp_path), "-crf", "1"])
+
+
+def test_hug_pretrain_mlm_smoke(tmp_path):
+    from meant_tpu.cli import hug_pretrain_mlm
+    hist = hug_pretrain_mlm.main([
+        "-rid", "34", "-ne", "1", "-nec", "1", "-b", "8",
+        "-fp", str(tmp_path), "--synthetic_n", "16", "--seq_len", "12",
+        "--bf16", "false", "-lrst", "constant", "--text_dim", "32",
+        "--vocab_size", "128", "--num_heads", "4"])
+    assert len(hist) == 1
+
+
+def test_hug_pretrain_mlm_fixed_loss(tmp_path):
+    from meant_tpu.cli import hug_pretrain_mlm
+    hist = hug_pretrain_mlm.main([
+        "-rid", "35", "-ne", "1", "-nec", "1", "-b", "8",
+        "--fixed_loss", "true",
+        "-fp", str(tmp_path), "--synthetic_n", "16", "--seq_len", "12",
+        "--bf16", "false", "-lrst", "constant", "--text_dim", "32",
+        "--vocab_size", "128", "--num_heads", "4"])
+    assert len(hist) == 1
+
+
+def test_join_examples_semantics():
+    from meant_tpu.train.ner import join_examples
+    toks = [["a"], ["b", "c"], ["d"], ["e"]]
+    tags = [[1], [2, 3], [4], [5]]
+    jt, jg = join_examples(toks, tags, 2)
+    assert jt == [["a", "b", "c"], ["d", "e"]]
+    assert jg == [[1, 2, 3], [4, 5]]
