@@ -70,10 +70,33 @@ def build_src(seq_len: int, batch: int = 16):
     return model, "meant_src", data, b, metric
 
 
+def build_src_bucketed(batch: int = 16, n: int = 256):
+    """src model fed through the length-bucketed loader with a SIMULATED
+    dynamic-length text distribution (uniform 64..512 content tokens) —
+    comparable to the reference's dynamic per-batch padding, one jit
+    compile per bucket length."""
+    from meant_tpu.data.loader import BucketedLoader
+
+    model, name, data, b, _ = build_src(512, batch)
+    rng = np.random.RandomState(7)
+    data = {k: np.repeat(v, n // b, axis=0) for k, v in data.items()}
+    lengths = rng.randint(64, 513, size=n)
+    mask = np.zeros((n, 5, 512), np.float32)
+    for i, l in enumerate(lengths):
+        mask[i, :, :l] = 1
+    data["attention_masks"] = mask
+    loader = BucketedLoader(data, b, buckets=(128, 256, 384, 512),
+                            shuffle=False)
+    metric = ("TempStockLarge(src meant-12) train samples/sec/chip "
+              "(length-bucketed, simulated uniform 64-512 content, bf16)")
+    return model, name, loader, b, metric
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="src512",
-                    choices=["src512", "src256", "paper128"])
+                    choices=["src512", "src256", "paper128",
+                             "src_bucketed"])
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
 
@@ -81,42 +104,63 @@ def main():
     from meant_tpu.parallel import make_mesh
     from meant_tpu.train import meant_trainer
 
+    loader = None
     if args.workload == "paper128":
         model, name, data, b, metric = build_paper128()
     elif args.workload == "src256":
         model, name, data, b, metric = build_src(256)
+    elif args.workload == "src_bucketed":
+        model, name, loader, b, metric = build_src_bucketed()
     else:
         model, name, data, b, metric = build_src(512)
+    if loader is None:
+        loader = ArrayLoader(data, b)
 
     mesh = make_mesh()
     n_chips = len(jax.devices())
     trainer = meant_trainer({
         "model": model, "model_name": name, "dataset": "TempStockLarge",
-        "train_loader": ArrayLoader(data, b), "epochs": 1,
+        "train_loader": loader, "epochs": 1,
         "num_classes": 2, "lag": 5, "mesh": mesh, "test_model": False,
         "run_id": "bench", "lrst": "constant", "lr": 1e-5,
     })
     batch = next(iter(trainer.train_loader))
     trainer._init_state(batch)
     trainer._build_steps()
-    db = trainer._device_batch(batch)
 
     # compile + warmup. NOTE: on the tunneled TPU platform
     # jax.block_until_ready can return before execution completes — fetching
     # the scalar value is the only reliable completion barrier, so timings
     # below close with float(loss).
-    state, loss, cm = trainer._jit_train(trainer.state, db)
-    trainer.state = state
-    for _ in range(2):
-        trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
-    float(loss)
+    if args.workload == "src_bucketed":
+        # one warm pass compiles every bucket shape, then time full epochs
+        from meant_tpu.data.loader import Prefetcher
+        for db in Prefetcher(loader, trainer._device_batch):
+            trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
+        float(loss)
+        steps = 0
+        t0 = time.perf_counter()
+        for _ in range(2):
+            for db in Prefetcher(loader, trainer._device_batch):
+                trainer.state, loss, cm = trainer._jit_train(trainer.state,
+                                                             db)
+                steps += 1
+        float(loss)
+        dt = time.perf_counter() - t0
+    else:
+        db = trainer._device_batch(batch)
+        state, loss, cm = trainer._jit_train(trainer.state, db)
+        trainer.state = state
+        for _ in range(2):
+            trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
+        float(loss)
 
-    steps = args.steps
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
-    float(loss)  # true barrier: value can't arrive before the chain finishes
-    dt = time.perf_counter() - t0
+        steps = args.steps
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
+        float(loss)  # true barrier: value arrives only after the chain
+        dt = time.perf_counter() - t0
 
     samples_per_sec = steps * b / dt
     per_chip = samples_per_sec / max(n_chips, 1)

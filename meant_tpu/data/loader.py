@@ -95,3 +95,68 @@ class Prefetcher:
                 break
             yield item
         t.join()
+
+
+class BucketedLoader:
+    """Length-bucketed batching: the reference pads DYNAMICALLY to the
+    longest sequence in each torch batch (`src/utils/custom_datasets.py:
+    238-257`), which static-shape jit cannot do. The TPU equivalent is a
+    small set of static bucket lengths: each example lands in the smallest
+    bucket that holds its content length, each batch is drawn from ONE
+    bucket, and every seq-axis array is sliced to the bucket length — one
+    compile per bucket, near-dynamic padding efficiency.
+
+    `length_key` names the (b, lag, s) {0,1} mask whose per-example content
+    length (max over lag days) assigns buckets; `seq_keys` are the arrays
+    whose last axis gets sliced."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
+                 seq_keys=("input_ids", "tweets", "attention_masks"),
+                 length_key: str = "attention_masks",
+                 buckets=(128, 256, 384, 512), shuffle: bool = False,
+                 seed: int = 0):
+        sizes = {k: len(v) for k, v in arrays.items()}
+        assert len(set(sizes.values())) == 1, f"ragged arrays: {sizes}"
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.seq_keys = [k for k in seq_keys if k in arrays]
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        mask = arrays[length_key]
+        lengths = mask.reshape(mask.shape[0], -1, mask.shape[-1]) \
+            .sum(-1).max(-1)                      # (n,) content lengths
+        s_max = mask.shape[-1]
+        self.buckets = sorted(min(b, s_max) for b in buckets
+                              if b <= s_max) or [s_max]
+        if self.buckets[-1] < s_max:
+            self.buckets.append(s_max)
+        edges = np.asarray(self.buckets)
+        self.assignment = edges[np.searchsorted(edges, lengths,
+                                                side="left").clip(
+                                                    0, len(edges) - 1)]
+        self.index = {b: np.flatnonzero(self.assignment == b)
+                      for b in self.buckets}
+
+    def __len__(self):
+        return sum(len(ix) // self.batch_size for ix in self.index.values())
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        bs = self.batch_size
+        plan = []
+        for b, ix in self.index.items():
+            ix = ix.copy()
+            if self.shuffle:
+                self.rng.shuffle(ix)
+            for i in range(len(ix) // bs):
+                plan.append((b, ix[i * bs:(i + 1) * bs]))
+        if self.shuffle:
+            self.rng.shuffle(plan)
+        for bucket, sel in plan:
+            batch = {}
+            for k, v in self.arrays.items():
+                out = v[sel]
+                if k in self.seq_keys:
+                    out = out[..., :bucket]
+                batch[k] = out
+            batch["_weight"] = np.ones((bs,), np.float32)
+            yield batch

@@ -27,14 +27,19 @@ def _build() -> Optional[ctypes.CDLL]:
     src = os.path.join(os.path.dirname(__file__), "collate.cpp")
     build_dir = os.path.join(os.path.dirname(__file__), "_build")
     os.makedirs(build_dir, exist_ok=True)
-    lib_path = os.path.join(build_dir, "libcollate.so")
+    # -march=native opt-in via env (portable baseline by default); the
+    # flag set participates in the staleness check so changing it rebuilds
+    arch = ["-march=native"] if os.environ.get(
+        "MEANT_TPU_NATIVE_ARCH", "") == "native" else []
+    flags = ["g++", "-O3", *arch, "-shared", "-fPIC", "-std=c++17"]
+    import hashlib
+    tag = hashlib.md5("-".join(flags).encode()).hexdigest()[:10]
+    lib_path = os.path.join(build_dir, f"libcollate-{tag}.so")
     if not os.path.exists(lib_path) or \
             os.path.getmtime(lib_path) < os.path.getmtime(src):
         try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", src, "-o", lib_path],
-                check=True, capture_output=True)
+            subprocess.run([*flags, src, "-o", lib_path],
+                           check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"[meant_tpu.native] build failed, using numpy fallback: "
                   f"{e}")

@@ -1,0 +1,118 @@
+"""Ring attention: sequence-parallel exact attention over a device mesh.
+
+Beyond reference parity (SURVEY §5.7 lists it as the natural next step once
+the flash kernel is blockwise): the sequence axis is sharded over a mesh
+axis, each device holds one q/k/v chunk, and K/V chunks rotate around the
+ring via `jax.lax.ppermute` while an online softmax (same math as the
+streaming flash kernel, `ops/flash/kernel.py`) accumulates — peak memory
+per device is O(s_local^2) for scores and communication rides the ICI ring.
+
+Layering: `ring_attention_local` is the per-device SPMD body (use inside
+your own shard_map); `ring_attend` wraps it in shard_map over a mesh for
+the common (b, h, s, d) case.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _online_update(carry, scores, v_cur):
+    """One online-softmax accumulation step. scores fp32 (b, h, sq, sk_loc),
+    v_cur (b, h, sk_loc, d)."""
+    m, l, acc = carry
+    m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(jnp.isfinite(scores), p, 0.0)
+    corr = jnp.where(jnp.isfinite(m), jnp.exp(m - m_safe), 0.0)
+    l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc * corr + jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32))
+    return m_new, l, acc
+
+
+def ring_attention_local(q, k, v, kmask=None, *, scale: float,
+                         causal: bool = False, axis_name: str = "sp"):
+    """SPMD per-device body. q/k/v: LOCAL chunks (b, h, s_loc, d) of a
+    sequence sharded over `axis_name`; kmask: local (b, s_loc) {0,1} or
+    None. Returns the local output chunk (b, h, s_loc, d)."""
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    b, h, s_loc, d = q.shape
+    qf = q.astype(jnp.float32)
+    row = idx * s_loc + jnp.arange(s_loc)                  # global q rows
+
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def body(i, carry):
+        k_cur, v_cur, km_cur, m, l, acc = carry
+        src = (idx - i) % n                                # chunk we hold
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qf,
+                            k_cur.astype(jnp.float32)) * scale
+        if causal:
+            col = src * s_loc + jnp.arange(s_loc)
+            scores = jnp.where(col[None, None, None, :]
+                               <= row[None, None, :, None],
+                               scores, -jnp.inf)
+        scores = scores + (1.0 - km_cur)[:, None, None, :] * -1e9
+        m, l, acc = _online_update((m, l, acc), scores, v_cur)
+        # rotate K/V (and their mask) one step around the ring
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        km_cur = jax.lax.ppermute(km_cur, axis_name, perm)
+        return k_cur, v_cur, km_cur, m, l, acc
+
+    if kmask is None:
+        kmask = jnp.ones((b, s_loc), jnp.float32)
+    stats = (jnp.full((b, h, s_loc, 1), -jnp.inf, jnp.float32),
+             jnp.zeros((b, h, s_loc, 1), jnp.float32),
+             jnp.zeros((b, h, s_loc, d), jnp.float32))
+    if hasattr(jax.lax, "pvary"):
+        # newer shard_map tracks device-varying axes: the constant-filled
+        # m/l/acc carry inits must be marked varying to match the body's
+        # outputs (k/v/kmask are already varying)
+        stats = jax.tree.map(
+            lambda x: (x if axis_name in getattr(jax.typeof(x), "vma", ())
+                       else jax.lax.pvary(x, axis_name)), stats)
+    init = (k, v, kmask.astype(jnp.float32), *stats)
+    *_, m, l, acc = jax.lax.fori_loop(0, n, body, init)
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
+def ring_attend(q, k, v, *, mesh: Mesh, scale: float, causal: bool = False,
+                attention_mask: Optional[jnp.ndarray] = None,
+                axis: str = "data"):
+    """Sequence-parallel attention: q/k/v (b, h, s, d) with s sharded over
+    mesh axis `axis`. Matches ops.attend numerically (tested on the
+    8-device CPU mesh)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    seq_spec = P(None, None, axis, None)
+    mask_spec = P(None, axis)
+    use_mask = attention_mask is not None
+    if attention_mask is None:
+        attention_mask = jnp.ones((q.shape[0], k.shape[2]), jnp.float32)
+
+    fn = shard_map(
+        functools.partial(ring_attention_local, scale=scale, causal=causal,
+                          axis_name=axis),
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec, mask_spec),
+        out_specs=seq_spec,
+    )
+    q = jax.device_put(q, NamedSharding(mesh, seq_spec))
+    k = jax.device_put(k, NamedSharding(mesh, seq_spec))
+    v = jax.device_put(v, NamedSharding(mesh, seq_spec))
+    attention_mask = jax.device_put(
+        attention_mask.astype(jnp.float32), NamedSharding(mesh, mask_spec))
+    del use_mask
+    return fn(q, k, v, attention_mask)

@@ -153,3 +153,47 @@ class TestSplitsAndBuilders:
                                   max_len=8)
         assert out["tweets"].shape == (3, lag, 8)
         assert out["prices"].shape == (3, lag, 3)
+
+
+class TestBucketedLoader:
+    def _arrays(self, n=40, lag=5, s=512):
+        rng = np.random.RandomState(0)
+        lengths = rng.choice([60, 130, 300, 500], size=n)
+        mask = np.zeros((n, lag, s), np.float32)
+        for i, l in enumerate(lengths):
+            mask[i, :, :l] = 1
+        return {
+            "input_ids": rng.randint(2, 100, (n, lag, s)).astype(np.int32),
+            "attention_masks": mask,
+            "pixels": rng.randn(n, lag, 3, 8, 8).astype(np.float32),
+            "y": rng.randint(0, 2, n).astype(np.int32),
+        }, lengths
+
+    def test_batches_are_single_bucket_and_cover_content(self):
+        from meant_tpu.data.loader import BucketedLoader
+        arrays, lengths = self._arrays()
+        loader = BucketedLoader(arrays, 4, buckets=(128, 256, 384, 512))
+        seen = 0
+        for batch in loader:
+            s = batch["input_ids"].shape[-1]
+            assert s in (128, 256, 384, 512)
+            # no content truncated: every row's length fits the bucket
+            assert batch["attention_masks"].sum(-1).max() <= s
+            # non-seq arrays untouched
+            assert batch["pixels"].shape[-1] == 8
+            seen += len(batch["y"])
+        assert seen == len(loader) * 4
+
+    def test_short_content_gets_short_bucket(self):
+        from meant_tpu.data.loader import BucketedLoader
+        arrays, lengths = self._arrays()
+        loader = BucketedLoader(arrays, 4, buckets=(128, 256, 384, 512))
+        assert set(loader.assignment[lengths == 60]) == {128}
+        assert set(loader.assignment[lengths == 500]) == {512}
+
+    def test_len_counts_full_batches_per_bucket(self):
+        from meant_tpu.data.loader import BucketedLoader
+        arrays, _ = self._arrays(n=10)
+        loader = BucketedLoader(arrays, 4, buckets=(128, 512))
+        total = sum(1 for _ in loader)
+        assert total == len(loader)
