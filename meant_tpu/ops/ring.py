@@ -98,7 +98,6 @@ def ring_attend(q, k, v, *, mesh: Mesh, scale: float, causal: bool = False,
 
     seq_spec = P(None, None, axis, None)
     mask_spec = P(None, axis)
-    use_mask = attention_mask is not None
     if attention_mask is None:
         attention_mask = jnp.ones((q.shape[0], k.shape[2]), jnp.float32)
 
@@ -114,5 +113,4 @@ def ring_attend(q, k, v, *, mesh: Mesh, scale: float, causal: bool = False,
     v = jax.device_put(v, NamedSharding(mesh, seq_spec))
     attention_mask = jax.device_put(
         attention_mask.astype(jnp.float32), NamedSharding(mesh, mask_spec))
-    del use_mask
     return fn(q, k, v, attention_mask)
