@@ -5,6 +5,7 @@ from .rotary import (apply_rot_emb_sincos, apply_rotary, axial_rotary_sincos,
                      rope_angles, rotate_half, rotate_queries_and_keys,
                      rotate_queries_or_keys, xpos_scale)
 from .patch import patchify
+from .ring import ring_attend, ring_attention_local
 from .temporal import lag_attend
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "frame_rotary_sincos", "lang_freqs", "make_freqs", "pixel_freqs",
     "rope_angles", "rotate_half", "rotate_queries_and_keys",
     "rotate_queries_or_keys", "xpos_scale", "lag_attend", "patchify",
+    "ring_attend", "ring_attention_local",
 ]
