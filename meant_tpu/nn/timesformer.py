@@ -53,11 +53,19 @@ def _attn(q, k, v):
 
 
 class TSAttention(nn.Module):
-    """One divided-attention op (time or space grouping decided by caller)."""
+    """One divided-attention op (time or space grouping decided by caller).
+
+    flash=True routes the grouped attention through the Pallas flash kernel
+    (rotation already applied outside; cls k/v rides as the first key) —
+    only engaged when the group is long enough to beat XLA (>= 256 incl.
+    cls), i.e. long-video/high-res configurations; MEANT's f=5/n=196 groups
+    stay on XLA either way (see module docstring)."""
     dim: int
     dim_head: int = 64
     heads: int = 8
     dropout: float = 0.0
+    flash: bool = False
+    flash_min_seq: int = 256
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -113,7 +121,12 @@ class TSAttention(nn.Module):
 
         k_ = jnp.concatenate((expand_cls(cls_k), k_), axis=1)
         v_ = jnp.concatenate((expand_cls(cls_v), v_), axis=1)
-        out = _attn(q_, k_, v_)                    # (bh*groups, g, dh)
+        if self.flash and k_.shape[1] >= self.flash_min_seq:
+            from meant_tpu.ops.flash import flash_mha
+            out = flash_mha(q_[:, None], k_[:, None], v_[:, None],
+                            scale=1.0)[:, 0]       # q pre-scaled
+        else:
+            out = _attn(q_, k_, v_)                # (bh*groups, g, dh)
 
         def ungroup(t):
             if group_axis_first:
@@ -182,6 +195,7 @@ class TimeSformer(nn.Module):
     ff_dropout: float = 0.0
     rotary_emb: bool = True
     shift_tokens: bool = False
+    flash: bool = False   # Pallas kernel for long time/space groups
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -222,7 +236,8 @@ class TimeSformer(nn.Module):
                 y = token_shift(y, f)
             y = nn.LayerNorm(name=f"time_norm_{i}")(y)
             x = TSAttention(self.dim, self.dim_head, self.heads,
-                            self.attn_dropout, dtype=self.dtype,
+                            self.attn_dropout, flash=self.flash,
+                            dtype=self.dtype,
                             name=f"time_attn_{i}")(
                 y, group_size=f, num_groups=n, rot_sincos=frame_rot,
                 group_axis_first=False, deterministic=deterministic) + x
@@ -231,7 +246,8 @@ class TimeSformer(nn.Module):
                 y = token_shift(y, f)
             y = nn.LayerNorm(name=f"space_norm_{i}")(y)
             x = TSAttention(self.dim, self.dim_head, self.heads,
-                            self.attn_dropout, dtype=self.dtype,
+                            self.attn_dropout, flash=self.flash,
+                            dtype=self.dtype,
                             name=f"space_attn_{i}")(
                 y, group_size=n, num_groups=f, rot_sincos=image_rot,
                 group_axis_first=True, deterministic=deterministic) + x

@@ -105,3 +105,32 @@ def test_meant_mosi():
     params = m.init(jax.random.PRNGKey(0), **kw)
     out = m.apply(params, **kw)
     assert out.shape == (B, 2)
+
+
+def test_timesformer_flash_matches_xla():
+    """flash=True routes long time/space groups through the Pallas kernel
+    (interpret mode on CPU) — outputs must match the XLA path. 16x(32x32)
+    patch-8 frames => space groups of 16+1, time groups of 16+1; with
+    flash_min_seq lowered, both go through the kernel."""
+    import functools
+    from unittest import mock
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meant_tpu.nn.timesformer import TimeSformer, TSAttention
+
+    rng = np.random.RandomState(3)
+    video = jnp.asarray(rng.randn(1, 16, 3, 32, 32).astype(np.float32) * .5)
+    kw = dict(dim=64, image_size=32, patch_size=8, num_frames=16,
+              num_classes=2, depth=1, heads=4, dim_head=16)
+    ref_model = TimeSformer(flash=False, **kw)
+    params = ref_model.init(jax.random.PRNGKey(0), video)
+    ref = ref_model.apply(params, video, return_tokens=True)
+
+    flash_model = TimeSformer(flash=True, **kw)
+    with mock.patch.object(TSAttention, "flash_min_seq", 8):
+        out = flash_model.apply(params, video, return_tokens=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
