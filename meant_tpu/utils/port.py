@@ -145,12 +145,15 @@ def import_meant(sd: Mapping, num_encoders: int) -> Dict:
         },
     }
     for i in range(num_encoders):
+        # the rotary tables live INSIDE the attention module
+        # (`encode.2.xPos.freqs` / `encode.2.pos_emb.freqs`); deterministic
+        # init makes them identical either way, but carry them exactly
         params[f"languageEncoders_{i}"] = encoder_params(
             sd, f"languageEncoders.{i}", norm="rms",
-            xpos_prefix=f"languageEncoders.{i}.xPos")
+            xpos_prefix=f"languageEncoders.{i}.encode.2.xPos")
         params[f"visionEncoders_{i}"] = encoder_params(
             sd, f"visionEncoders.{i}", norm="rms",
-            xpos_prefix=f"visionEncoders.{i}.posEmbed")
+            xpos_prefix=f"visionEncoders.{i}.encode.2.pos_emb")
     return params
 
 
@@ -729,3 +732,103 @@ def import_audio_encoder(sd: Mapping, num_layers: int = 3, nhead: int = 2,
         params[f"norm2_{i}"] = {"scale": _t(sd[f"{p}norm2.weight"]),
                                 "bias": _t(sd[f"{p}norm2.bias"])}
     return params
+
+
+# ---- reverse port: flax params -> reference torch state_dict -------------
+
+def _unlinear(tree: Mapping, out: Dict, prefix: str) -> None:
+    d = tree["dense"]
+    out[f"{prefix}.weight"] = np.asarray(d["kernel"]).T
+    if "bias" in d:
+        out[f"{prefix}.bias"] = np.asarray(d["bias"])
+
+
+def _unnorm(tree: Mapping, out: Dict, prefix: str, kind: str) -> None:
+    if kind == "rms":
+        out[f"{prefix}.scale"] = np.asarray(tree["scale"])
+        if "offset" in tree:
+            out[f"{prefix}.offset"] = np.asarray(tree["offset"])
+    else:
+        out[f"{prefix}.weight"] = np.asarray(tree["scale"])
+        out[f"{prefix}.bias"] = np.asarray(tree["offset"])
+
+
+def _unattention(tree: Mapping, out: Dict, prefix: str,
+                 swap_kv: bool = True) -> None:
+    """Inverse of attention_params: flax true-q/k/v back to the reference's
+    swapped naming (its `v` Linear computes keys, `k` computes values)."""
+    _unlinear(tree["q"], out, f"{prefix}.q")
+    _unlinear(tree["k"], out, f"{prefix}.{'v' if swap_kv else 'k'}")
+    _unlinear(tree["v"], out, f"{prefix}.{'k' if swap_kv else 'v'}")
+    _unlinear(tree["multi_mad"], out, f"{prefix}.multi_mad")
+
+
+def _unencoder(tree: Mapping, out: Dict, prefix: str, norm: str = "rms",
+               ff_norm2: str = None, dropout_in_encode: bool = True,
+               xpos_prefix: str = None) -> None:
+    """Inverse of encoder_params. dropout_in_encode=True is the
+    languageEncoder layout (proj_out/ff_out at ModuleList index 5);
+    False is the visionEncoder layout (index 4)."""
+    ff_norm2 = ff_norm2 or norm
+    # languageEncoder carries Dropout in both ModuleLists => final Linears
+    # at index 5; visionEncoder has none => index 4 (`meant/meant.py:57-64,
+    # 100-107`)
+    idx = 5 if dropout_in_encode else 4
+    _unnorm(tree["norm1"], out, f"{prefix}.encode.0", norm)
+    _unlinear(tree["proj_in"], out, f"{prefix}.encode.1")
+    _unattention(tree["attn"], out, f"{prefix}.encode.2", swap_kv=True)
+    _unnorm(tree["norm2"], out, f"{prefix}.encode.3", norm)
+    _unlinear(tree["proj_out"], out, f"{prefix}.encode.{idx}")
+    _unnorm(tree["norm3"], out, f"{prefix}.encode2.0", norm)
+    _unlinear(tree["ff_in"], out, f"{prefix}.encode2.1")
+    _unnorm(tree["norm4"], out, f"{prefix}.encode2.3", ff_norm2)
+    _unlinear(tree["ff_out"], out, f"{prefix}.encode2.{idx}")
+    if xpos_prefix and "freqs" in tree["attn"]:
+        out[f"{xpos_prefix}.freqs"] = np.asarray(tree["attn"]["freqs"])
+
+
+def export_meant(params: Mapping, num_encoders: int) -> Dict:
+    """Inverse of import_meant: a meant_tpu `meant` param tree back to the
+    reference's torch state_dict layout (numpy values — load with
+    `ref.load_state_dict({k: torch.tensor(v) ...})`). Round-trip tested in
+    tests/test_port.py."""
+    out: Dict = {}
+    emb = params["embedding"]
+    out["embedding.0.word_embeddings.weight"] = \
+        np.asarray(emb["word_embeddings"])
+    out["embedding.0.position_embeddings.weight"] = \
+        np.asarray(emb["position_embeddings"])
+    out["embedding.0.token_type_embeddings.weight"] = \
+        np.asarray(emb["token_type_embeddings"])
+    out["embedding.0.LayerNorm.weight"] = np.asarray(emb["ln_scale"])
+    out["embedding.0.LayerNorm.bias"] = np.asarray(emb["ln_bias"])
+    _unlinear(params["patchEmbed"], out, "patchEmbed.1")
+    t = params["temporal_encoding_0"]
+    out["temporal_encoding.0.temp_embedding"] = \
+        np.asarray(t["temp_embedding"])
+    _unnorm(t["norm1"], out, "temporal_encoding.0.temp_encode.0", "rms")
+    _unlinear(t["proj_in"], out, "temporal_encoding.0.temp_encode.1")
+    _unattention(t["temporal"], out, "temporal_encoding.0.temp_encode.2",
+                 swap_kv=True)
+    _unnorm(t["norm2"], out, "temporal_encoding.0.temp_encode.3", "rms")
+    _unlinear(t["proj_out"], out, "temporal_encoding.0.temp_encode.4")
+    _unnorm(params["mlpHead"]["norm"], out, "mlpHead.0", "rms")
+    _unlinear(params["mlpHead"]["proj"], out, "mlpHead.1")
+    for i in range(num_encoders):
+        _unencoder(params[f"languageEncoders_{i}"], out,
+                   f"languageEncoders.{i}", norm="rms",
+                   dropout_in_encode=True,
+                   xpos_prefix=f"languageEncoders.{i}.encode.2.xPos")
+        _unencoder(params[f"visionEncoders_{i}"], out,
+                   f"visionEncoders.{i}", norm="rms",
+                   dropout_in_encode=False,
+                   xpos_prefix=f"visionEncoders.{i}.encode.2.pos_emb")
+        # torch registers the shared rotary module twice (encoder attribute
+        # AND inside the attention) — emit both aliases
+        inner = f"languageEncoders.{i}.encode.2.xPos.freqs"
+        if inner in out:
+            out[f"languageEncoders.{i}.xPos.freqs"] = out[inner]
+        inner = f"visionEncoders.{i}.encode.2.pos_emb.freqs"
+        if inner in out:
+            out[f"visionEncoders.{i}.posEmbed.freqs"] = out[inner]
+    return out

@@ -259,3 +259,60 @@ class TestStreamingBackward:
         for a, b_ in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-3, atol=1e-4)
+
+
+class TestKernelRobustness:
+    def test_cross_attention_sq_ne_sk(self):
+        # s_q != s_k (cross-attention shape) through both paths
+        from meant_tpu.ops.flash.kernel import flash_mha
+        rng = np.random.RandomState(30)
+        b, h, d = 2, 2, 32
+        q = jnp.asarray(rng.randn(b, h, 48, d).astype(np.float32) * .5)
+        k = jnp.asarray(rng.randn(b, h, 160, d).astype(np.float32) * .5)
+        v = jnp.asarray(rng.randn(b, h, 160, d).astype(np.float32) * .5)
+        scale = 1.0 / np.sqrt(d)
+        ref = ops.attend(q, k, v, scale=scale)
+        for online in (False, True):
+            out = flash_mha(q, k, v, scale=scale, force_online=online,
+                            block_q=32, block_k=64)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_streaming_bwd_bf16(self):
+        from meant_tpu.ops.flash.kernel import flash_mha
+        rng = np.random.RandomState(31)
+        b, h, s, d = 1, 2, 256, 32
+        q, k, v = (jnp.asarray(
+            rng.randn(b, h, s, d).astype(np.float32) * .5).astype(
+                jnp.bfloat16) for _ in range(3))
+        scale = 1.0 / np.sqrt(d)
+
+        def fl(q_):
+            return jnp.sum(flash_mha(q_, k, v, scale=scale, causal=True,
+                                     force_online=True, block_q=64,
+                                     block_k=64).astype(jnp.float32) ** 2)
+
+        def ref(q_):
+            return jnp.sum(ops.attend(q_, k, v, scale=scale,
+                                      causal=True).astype(jnp.float32) ** 2)
+
+        gf = jax.grad(fl)(q)
+        gr = jax.grad(ref)(q)
+        np.testing.assert_allclose(np.asarray(gf, np.float32),
+                                   np.asarray(gr, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_fully_masked_batch_row(self):
+        # one batch element entirely masked out: no NaNs either path
+        from meant_tpu.ops.flash.kernel import flash_mha
+        rng = np.random.RandomState(32)
+        b, h, s, d = 2, 2, 64, 32
+        q, k, v = (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+                   for _ in range(3))
+        mask = np.ones((b, s), np.float32)
+        mask[1] = 0.0
+        for online in (False, True):
+            out = flash_mha(q, k, v, scale=0.2, causal=False,
+                            attention_mask=jnp.asarray(mask),
+                            force_online=online, block_k=32)
+            assert np.isfinite(np.asarray(out)).all()

@@ -40,7 +40,12 @@ def synthetic_reference_sd(num_encoders=1, dim=32, vocab=50, lag=5,
                            ("visionEncoders", "posEmbed")):
         for i in range(num_encoders):
             pre = f"{fam}.{i}"
-            sd[f"{pre}.{xpos_name}.freqs"] = rng.rand(2).astype(np.float32)
+            # real torch registers the shared rotary module TWICE: at the
+            # encoder level and inside the attention module
+            freqs = rng.rand(2).astype(np.float32)
+            sd[f"{pre}.{xpos_name}.freqs"] = freqs
+            inner = "xPos" if fam == "languageEncoders" else "pos_emb"
+            sd[f"{pre}.encode.2.{inner}.freqs"] = freqs
             for blk, idxs in (("encode", (0, 1, 3)), ("encode2", (0, 1, 3))):
                 sd[f"{pre}.{blk}.{idxs[0]}.scale"] = rng.randn(dim).astype(np.float32)
                 put_lin(f"{pre}.{blk}.{idxs[1]}", dim, dim)
@@ -71,7 +76,7 @@ def synthetic_reference_sd(num_encoders=1, dim=32, vocab=50, lag=5,
 def test_qvk_swap_mapping():
     sd = synthetic_reference_sd()
     enc = port.encoder_params(sd, "languageEncoders.0", norm="rms",
-                              xpos_prefix="languageEncoders.0.xPos")
+                              xpos_prefix="languageEncoders.0.encode.2.xPos")
     # flax k comes from reference v (and vice versa)
     np.testing.assert_array_equal(
         enc["attn"]["k"]["dense"]["kernel"],
@@ -118,10 +123,48 @@ def test_import_meant_matches_model_tree():
     for k in list(sd2):
         # match the model's default table widths: language rot_dim
         # min(48, dh=8) => 4 freqs; vision rot_param (dh)//2=4 => 2 freqs
-        if k.endswith("xPos.freqs"):
+        if "xPos.freqs" in k:
             sd2[k] = np.random.RandomState(1).rand(4).astype(np.float32)
-        if k.endswith("posEmbed.freqs"):
+        if "posEmbed.freqs" in k or "pos_emb.freqs" in k:
             sd2[k] = np.random.RandomState(2).rand(2).astype(np.float32)
     imported2 = port.import_meant(sd2, num_encoders=1)
     out = model.apply({"params": imported2}, tweets, images)
     assert out.shape == (1, 2)
+
+
+def test_export_meant_round_trip():
+    """flax -> torch reverse port: import_meant(sd) -> export_meant must
+    reproduce every tensor of the original reference state_dict (naming
+    swap and ModuleList indices inverted exactly)."""
+    import os
+    import numpy as np
+    import pytest
+    if not os.path.isdir("/root/reference/meant"):
+        pytest.skip("reference snapshot not mounted")
+    import torch
+    from test_reference_parity import _install_stubs
+    _install_stubs()
+    from meant.meant import meant as ref_meant
+    from transformers import RobertaConfig
+    from transformers.models.roberta.modeling_roberta import \
+        RobertaEmbeddings
+    from meant_tpu.utils import port
+
+    torch.manual_seed(40)
+    cfg = RobertaConfig(vocab_size=64, hidden_size=32,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0)
+    ref = ref_meant(text_dim=32, image_dim=32, price_dim=4, height=32,
+                    width=32, patch_res=16, lag=5, num_classes=2,
+                    embedding=RobertaEmbeddings(cfg), flash=False,
+                    num_heads=4, num_encoders=2, channels=4)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port.import_meant(sd, num_encoders=2)
+    back = port.export_meant(params, num_encoders=2)
+    # position_ids buffers etc. are non-parameters the exporter skips
+    missing = set(sd) - set(back) - {
+        k for k in sd if k.endswith("position_ids")}
+    assert not missing, f"exporter dropped keys: {sorted(missing)[:5]}"
+    for k, v in back.items():
+        np.testing.assert_allclose(v, sd[k], rtol=0, atol=0,
+                                   err_msg=k)
