@@ -88,6 +88,10 @@ def base_parser() -> argparse.ArgumentParser:
                    default=False)
     p.add_argument("--synthetic_n", type=int, default=64,
                    help="synthetic sample count when --data_dir is omitted")
+    p.add_argument("--buckets", type=str, default=None,
+                   help="comma-separated length buckets for bucketed "
+                        "training batches (e.g. 128,256,384,512) — the "
+                        "static-shape equivalent of dynamic padding")
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--text_dim", type=int, default=768)

@@ -44,11 +44,22 @@ def main(argv=None):
             "Cannot be an image only AND a language only task")
     train, val, test = split_arrays(arrays)
 
+    if args.buckets:
+        # length-bucketed training batches (one jit compile per bucket —
+        # the static-shape equivalent of the reference's dynamic padding)
+        from meant_tpu.data.loader import BucketedLoader
+        buckets = tuple(int(x) for x in args.buckets.split(","))
+        train_loader = BucketedLoader(
+            train, args.train_batch_size, buckets=buckets, shuffle=True,
+            seq_keys=("tweets", "input_ids", "attention_masks"))
+    else:
+        train_loader = ArrayLoader(train, args.train_batch_size,
+                                   shuffle=True)
+
     trainer = meant_trainer({
         "model": model, "model_name": args.model_name,
         "dataset": args.dataset,
-        "train_loader": ArrayLoader(train, args.train_batch_size,
-                                    shuffle=True),
+        "train_loader": train_loader,
         "val_loader": ArrayLoader(val, args.train_batch_size,
                                   drop_remainder=False),
         "test_loader": ArrayLoader(test, args.train_batch_size,

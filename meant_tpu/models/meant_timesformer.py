@@ -91,7 +91,7 @@ class _TimesformerBase(nn.Module):
             patch_size=self.patch_res, num_frames=self.lag,
             num_classes=self.num_classes, depth=1, heads=8, dim_head=64,
             attn_dropout=0.1, ff_dropout=0.1, channels=self.channels,
-            dtype=self.dtype, name="timesformer")
+            flash=self.flash, dtype=self.dtype, name="timesformer")
 
 
 class meant_timesformer(_TimesformerBase):
@@ -284,7 +284,7 @@ class meant_mosi(nn.Module):
             dim=self.image_dim, image_size=20, patch_size=1,
             num_frames=self.lag, num_classes=self.num_classes,
             depth=self.num_encoders, heads=8, dim_head=64, attn_dropout=0.1,
-            ff_dropout=0.1, channels=1, dtype=self.dtype,
+            ff_dropout=0.1, channels=1, flash=self.flash, dtype=self.dtype,
             name="timesformer")(video, deterministic=deterministic,
                                 return_tokens=True)
         img_tokens = img_tokens[:, 1:]                   # drop cls

@@ -70,3 +70,16 @@ def test_vqa_smoke(tmp_path):
         "--image_size", "32", "--bf16", "false", "-lrst", "constant",
         "--text_dim", "32", "--image_dim", "32", "--vocab_size", "128", "--num_heads", "4"])
     assert "history" in results
+
+
+def test_in_loop_train_bucketed(tmp_path):
+    """--buckets trains with length-bucketed batches (one compile per
+    bucket shape)."""
+    results = in_loop_train.main([
+        "-rid", "19", "-mn", "meant_tweet", "-ne", "1", "-nec", "1",
+        "-tb", "8", "-fp", str(tmp_path), "--synthetic_n", "48",
+        "--seq_len", "24", "--image_size", "32", "--bf16", "false",
+        "-lrst", "constant", "--text_dim", "32", "--image_dim", "32",
+        "--vocab_size", "128", "--num_heads", "4",
+        "--buckets", "8,16,24"])
+    assert "history" in results and len(results["history"]) == 1
