@@ -39,21 +39,22 @@ def genia_parser():
 
 
 def _encode_word_level(tokens_list, tags_list, seq_len, vocab_size):
-    """Word-level FNV encoding: one token per word (word_ids == identity),
-    so align_labels labels every in-range word and -100 pads the rest."""
+    """Word-level FNV encoding: one token per word. The tokenizer frames
+    content as [BOS, w_0..w_{k-1}, EOS, pad...], so word_ids carries None
+    for BOS/EOS/pad and k word indices in between — align_labels then
+    labels exactly the word positions (-100 elsewhere), matching the
+    reference's special-token policy (`in_loop_genia.py:131-144`)."""
     texts = [" ".join(t) for t in tokens_list]
-    ids, _ = fnv1a_tokenize(texts, seq_len, vocab_size)
+    ids, enc_mask = fnv1a_tokenize(texts, seq_len, vocab_size)
     word_ids, labels = [], []
     for toks, tags in zip(tokens_list, tags_list):
-        n = min(len(toks), seq_len)
-        word_ids.append(list(range(n)) + [None] * (seq_len - n))
+        k = min(len(toks), seq_len - 2)
+        word_ids.append([None] + list(range(k))
+                        + [None] * (seq_len - 1 - k))
         labels.append(list(tags))
     aligned = align_labels(word_ids, labels)
-    mask = (np.arange(seq_len)[None, :]
-            < np.array([min(len(t), seq_len)
-                        for t in tokens_list])[:, None])
     return {"input_ids": ids, "labels": aligned,
-            "attention_mask": mask.astype(np.float32)}
+            "attention_mask": enc_mask.astype(np.float32)}
 
 
 def load_data(args):
