@@ -18,3 +18,24 @@ Layering (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: on the tunneled-TPU platform a cold
+# compile of a big graph goes through a remote compile service (minutes);
+# the cache cuts warm process starts ~3.6x (measured: 192s -> 53s).
+# Opt out with MEANT_TPU_NO_COMPILE_CACHE=1 or point MEANT_TPU_CACHE_DIR
+# elsewhere.
+import os as _os
+
+if not _os.environ.get("MEANT_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "MEANT_TPU_CACHE_DIR",
+                _os.path.expanduser("~/.cache/meant_tpu/xla_cache")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:  # older jax without the knobs
+        pass
