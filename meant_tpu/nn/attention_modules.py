@@ -56,6 +56,12 @@ class XPosAttention(nn.Module):
     xpos_scale_base: float = 512.0
     init_style: str = "torch"
     flash: bool = False
+    # sequence-parallel ring attention: give the mesh whose `ring_axis`
+    # shards the sequence; activations stay sequence-sharded end to end
+    # and K/V rotate over the ICI ring (ops/ring.py). Long-context mode —
+    # overrides `flash`.
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "data"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -74,7 +80,21 @@ class XPosAttention(nn.Module):
         v = Linear(d, d, init_style=self.init_style, dtype=self.dtype,
                    name="v")(x)
         q, k, v = (ops.split_heads(t, h) for t in (q, k, v))
-        if self.flash:
+        if self.ring_mesh is not None:
+            from meant_tpu.ops.ring import make_ring_attention
+            # rotation uses GLOBAL positions (jit presents global shapes);
+            # the shard_map inside splits the sequence axis per device
+            q, k = ops.rotate_queries_and_keys(
+                q, k, freqs, rot_dim=rot_dim,
+                scale_base=self.xpos_scale_base)
+            mask = attention_mask
+            if mask is None:
+                mask = jnp.ones((q.shape[0], k.shape[2]), jnp.float32)
+            out = make_ring_attention(
+                self.ring_mesh, scale=scale, causal=self.causal,
+                axis=self.ring_axis)(q, k, v.astype(q.dtype),
+                                     mask.astype(jnp.float32))
+        elif self.flash:
             from meant_tpu.ops.flash import flash_attention
             out = flash_attention(
                 q, k, v, scale=scale, causal=self.causal,

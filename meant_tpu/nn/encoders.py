@@ -48,6 +48,8 @@ class LanguageEncoder(nn.Module):
     mask_in_flash: bool = False
     causal: bool = True
     rot_dim: Optional[int] = None  # xPos rotated width (48 default; MOSI 30)
+    ring_mesh: Optional[object] = None  # sequence-parallel long-context mode
+    ring_axis: str = "data"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -63,6 +65,8 @@ class LanguageEncoder(nn.Module):
         inter = XPosAttention(self.num_heads, d, causal=self.causal,
                               rot_dim=self.rot_dim,
                               init_style=self.init_style, flash=self.flash,
+                              ring_mesh=self.ring_mesh,
+                              ring_axis=self.ring_axis,
                               dtype=self.dtype, name="attn")(inter, mask)
         inter = make_norm(self.norm, d, "norm2")(inter)
         inter = nn.Dropout(self.dropout, name="drop1")(

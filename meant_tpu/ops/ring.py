@@ -85,12 +85,12 @@ def ring_attention_local(q, k, v, kmask=None, *, scale: float,
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
-def ring_attend(q, k, v, *, mesh: Mesh, scale: float, causal: bool = False,
-                attention_mask: Optional[jnp.ndarray] = None,
-                axis: str = "data"):
-    """Sequence-parallel attention: q/k/v (b, h, s, d) with s sharded over
-    mesh axis `axis`. Matches ops.attend numerically (tested on the
-    8-device CPU mesh)."""
+def make_ring_attention(mesh: Mesh, *, scale: float, causal: bool = False,
+                        axis: str = "data"):
+    """shard_map-wrapped ring attention callable, usable from EAGER code or
+    INSIDE a jitted function (no device placement — the caller's shardings
+    or jit's SPMD partitioner provide it). Signature:
+    fn(q, k, v, attention_mask) with global (b, h, s, d) arrays."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -98,16 +98,27 @@ def ring_attend(q, k, v, *, mesh: Mesh, scale: float, causal: bool = False,
 
     seq_spec = P(None, None, axis, None)
     mask_spec = P(None, axis)
-    if attention_mask is None:
-        attention_mask = jnp.ones((q.shape[0], k.shape[2]), jnp.float32)
-
-    fn = shard_map(
+    return shard_map(
         functools.partial(ring_attention_local, scale=scale, causal=causal,
                           axis_name=axis),
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, mask_spec),
         out_specs=seq_spec,
     )
+
+
+def ring_attend(q, k, v, *, mesh: Mesh, scale: float, causal: bool = False,
+                attention_mask: Optional[jnp.ndarray] = None,
+                axis: str = "data"):
+    """Sequence-parallel attention: q/k/v (b, h, s, d) with s sharded over
+    mesh axis `axis`. Matches ops.attend numerically (tested on the
+    8-device CPU mesh)."""
+    seq_spec = P(None, None, axis, None)
+    mask_spec = P(None, axis)
+    if attention_mask is None:
+        attention_mask = jnp.ones((q.shape[0], k.shape[2]), jnp.float32)
+
+    fn = make_ring_attention(mesh, scale=scale, causal=causal, axis=axis)
     q = jax.device_put(q, NamedSharding(mesh, seq_spec))
     k = jax.device_put(k, NamedSharding(mesh, seq_spec))
     v = jax.device_put(v, NamedSharding(mesh, seq_spec))
