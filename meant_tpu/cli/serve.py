@@ -1,0 +1,83 @@
+"""Batch-inference CLI around meant_tpu.serve.Predictor.
+
+The reference has no serving story (SURVEY §4 — eval loops only); this is
+the production path: restore an orbax checkpoint, jit a fixed-shape
+forward, stream .npz batches through the mesh, write probabilities.
+
+    python -m meant_tpu.cli.serve -rid 0 -mn meant \\
+        --checkpoint models/meant/<ckpt> --input batch.npz --output probs.npy
+
+`--input` is an .npz whose arrays match the model's batch keys (tweets /
+graphs / input_ids / pixels / prices / attention_masks); omit it for a
+synthetic smoke batch."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from meant_tpu.cli.common import base_parser, build_model
+from meant_tpu.serve import Predictor
+
+
+def serve_parser():
+    p = base_parser()
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="orbax checkpoint path (omit for random init)")
+    p.add_argument("--input", type=str, default=None,
+                   help=".npz of batch arrays; synthetic smoke if omitted")
+    p.add_argument("--output", type=str, default=None,
+                   help="write probabilities to this .npy")
+    p.add_argument("--serve_batch", type=int, default=32)
+    return p
+
+
+def _synthetic_batch(args):
+    rng = np.random.RandomState(0)
+    n, lag, s = args.synthetic_n, args.lag, args.seq_len
+    size = args.image_size
+    return {
+        "tweets": rng.randint(2, args.vocab_size - 1,
+                              size=(n, lag, s)).astype(np.int32),
+        "graphs": rng.randn(n, lag, 4, size, size).astype(np.float32),
+        "attention_masks": np.ones((n, lag, s), np.float32),
+    }
+
+
+def main(argv=None):
+    args = serve_parser().parse_args(argv)
+    model = build_model(args)
+    if args.input:
+        z = np.load(args.input)
+        batch = {k: z[k] for k in z.files}
+    else:
+        print("No --input: synthetic smoke batch.")
+        batch = _synthetic_batch(args)
+
+    params = None
+    if args.checkpoint is None:
+        # random init from the batch shapes (smoke / structure check)
+        import jax
+        from meant_tpu.train.classify import model_inputs
+        a, kw = model_inputs(args.model_name, batch)
+        variables = model.init(jax.random.PRNGKey(0),
+                               *(jnp.asarray(x) for x in a),
+                               **{k: (jnp.asarray(v) if v is not None
+                                      else None) for k, v in kw.items()})
+        params = variables["params"]
+
+    predictor = Predictor(model, args.model_name, params=params,
+                          checkpoint_path=args.checkpoint,
+                          batch_size=args.serve_batch)
+    probs = predictor(batch)
+    print(f"served {len(probs)} rows -> probs shape {probs.shape}, "
+          f"mean {float(probs.mean()):.4f}")
+    if args.output:
+        np.save(args.output, probs)
+        print(f"wrote {args.output}")
+    return probs
+
+
+if __name__ == "__main__":
+    main()

@@ -26,3 +26,42 @@ def test_predictor_pads_and_matches_direct():
     direct = np.asarray(model.apply({"params": params},
                                     jnp.asarray(tweets), jnp.asarray(mask)))
     np.testing.assert_allclose(probs, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_serve_cli_smoke(tmp_path):
+    from meant_tpu.cli import serve as serve_cli
+    out = tmp_path / "probs.npy"
+    probs = serve_cli.main([
+        "-rid", "50", "-mn", "meant_tweet", "-nec", "1",
+        "--synthetic_n", "20", "--seq_len", "12", "--image_size", "32",
+        "--text_dim", "32", "--image_dim", "32", "--vocab_size", "128",
+        "--num_heads", "4", "--serve_batch", "8",
+        "--output", str(out)])
+    import numpy as np
+    assert probs.shape == (20, 2)
+    assert np.load(out).shape == (20, 2)
+
+
+def test_serve_cli_checkpoint_round_trip(tmp_path):
+    """Train one epoch via the trainer, serve from its saved checkpoint."""
+    import numpy as np
+    from meant_tpu.cli import in_loop_train
+    from meant_tpu.cli import serve as serve_cli
+    from meant_tpu.train.checkpoint import checkpoint_name
+
+    in_loop_train.main([
+        "-rid", "51", "-mn", "meant_tweet", "-ne", "1", "-nec", "1",
+        "-tb", "8", "-fp", str(tmp_path), "--synthetic_n", "24",
+        "--seq_len", "12", "--image_size", "32", "--bf16", "false",
+        "-lrst", "constant", "--text_dim", "32", "--image_dim", "32",
+        "--vocab_size", "128", "--num_heads", "4"])
+    name = checkpoint_name("meant_tweet", 1, "Tempstock", "51", 1)
+    ckpt = str(tmp_path / "models" / "meant_tweet" / name)
+    probs = serve_cli.main([
+        "-rid", "52", "-mn", "meant_tweet", "-nec", "1",
+        "--checkpoint", ckpt,
+        "--synthetic_n", "16", "--seq_len", "12", "--image_size", "32",
+        "--text_dim", "32", "--image_dim", "32", "--vocab_size", "128",
+        "--num_heads", "4", "--serve_batch", "8"])
+    assert probs.shape == (16, 2)
+    assert np.isfinite(probs).all()
