@@ -96,3 +96,46 @@ def test_meant_timesformer_trains(tmp_path):
         "lrst": "constant", "test_model": False})
     tr.train()
     assert np.isfinite(tr.history[-1]["train_loss"])
+
+
+def test_meant_src_trains_bucketed(tmp_path):
+    """The src flagship through the trainer with length-BUCKETED batches:
+    multiple bucket shapes per epoch (one jit per shape), finite losses."""
+    import numpy as np
+    import jax.numpy as jnp
+    from meant_tpu.data.loader import BucketedLoader
+    from meant_tpu.models import EmbeddingConfig
+    from meant_tpu.models.meant_src import meant_src
+    from meant_tpu.parallel import make_mesh
+    from meant_tpu.train import meant_trainer
+
+    rng = np.random.RandomState(0)
+    n, lag, s = 32, 5, 32
+    lengths = rng.choice([8, 16, 32], size=n)
+    mask = np.zeros((n, lag, s), np.float32)
+    for i, l in enumerate(lengths):
+        mask[i, :, :l] = 1
+    data = {
+        "input_ids": rng.randint(2, 100, (n, lag, s)).astype(np.int32),
+        "pixels": rng.randn(n, lag, 3, 32, 32).astype(np.float32),
+        "prices": rng.randn(n, lag, 5).astype(np.float32),
+        "attention_masks": mask,
+        "y": rng.randint(0, 2, n).astype(np.int32),
+    }
+    model = meant_src(text_dim=32, image_dim=32, price_dim=5, height=32,
+                      width=32, patch_res=16, lag=lag, num_classes=2,
+                      embedding=EmbeddingConfig(vocab_size=100,
+                                                hidden_size=32,
+                                                max_position_embeddings=40),
+                      num_heads=4, num_encoders=1, channels=3, seq_len=32)
+    loader = BucketedLoader(data, 8, buckets=(8, 16, 32), shuffle=True)
+    assert len({b["input_ids"].shape[-1] for b in loader}) > 1
+    trainer = meant_trainer({
+        "model": model, "model_name": "meant_src", "dataset": "TSL",
+        "train_loader": loader, "epochs": 2, "num_classes": 2, "lag": lag,
+        "mesh": make_mesh(), "test_model": False, "run_id": "bk",
+        "file_path": str(tmp_path), "lrst": "constant", "lr": 1e-4,
+    })
+    results = trainer.train()
+    assert len(results["history"]) == 2
+    assert np.isfinite(results["history"][-1]["train_loss"])
