@@ -12,7 +12,6 @@ smoke mode."""
 
 from __future__ import annotations
 
-import numpy as np
 
 import jax.numpy as jnp
 

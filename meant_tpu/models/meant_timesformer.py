@@ -21,7 +21,6 @@ Pooling quirks replicated faithfully (flags give the fixed behavior):
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -15,7 +15,6 @@ sequential stack on the 8-device CPU mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
