@@ -30,11 +30,16 @@ if not _os.environ.get("MEANT_TPU_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
 
+        # per-platform cache dir: entries serialized by one backend abort
+        # deserialization on another (observed axon <-> cpu), and the axon
+        # plugin's keys may not fingerprint the platform
+        _plat = _os.environ.get("JAX_PLATFORMS", "default") or "default"
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.environ.get(
                 "MEANT_TPU_CACHE_DIR",
-                _os.path.expanduser("~/.cache/meant_tpu/xla_cache")))
+                _os.path.expanduser(
+                    f"~/.cache/meant_tpu/xla_cache_{_plat}")))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                            1.0)
     except Exception:  # older jax without the knobs

@@ -9,6 +9,10 @@ the platform through jax.config before any backend is initialized.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no persistent compile cache under tests: CPU compiles are fast, and a
+# cache shared with TPU-platform processes can poison either side (a
+# cached executable from one backend aborts deserialization on the other)
+os.environ["MEANT_TPU_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
