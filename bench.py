@@ -56,7 +56,10 @@ def build_src(seq_len: int, batch: int = 16):
                       width=224, patch_res=16, lag=lag, num_classes=2,
                       embedding=EmbeddingConfig(), num_heads=8,
                       num_encoders=12, channels=3, seq_len=512, flash=True,
-                      flash_vision=False, dtype=jnp.bfloat16)
+                      dtype=jnp.bfloat16)  # flash on BOTH branches: with
+    # auto-sized q blocks the kernel now also edges XLA at the 196-patch
+    # vision length (27.7 vs 29.0 ms/4-layer grad; 53.5 vs 52.5 samples/s
+    # end-to-end)
     rng = np.random.RandomState(0)
     data = {
         "input_ids": rng.randint(2, 64000, size=(b, lag, s)).astype(np.int32),
