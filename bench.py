@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -26,6 +27,12 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_SAMPLES_PER_SEC = 23.0
+
+# The A100 baseline (~23 samples/s) was measured on the src-era s=512
+# dynamic-padding workload; only the two workloads that replicate it get a
+# vs_baseline ratio. paper128/src256 run different shapes — a ratio against
+# the s=512 number would overstate them (VERDICT r2 "What's weak" #5).
+BASELINED_WORKLOADS = ("src512", "src_bucketed")
 
 
 def build_paper128():
@@ -47,7 +54,7 @@ def build_paper128():
     return model, "meant", data, b, metric
 
 
-def build_src(seq_len: int, batch: int = 16):
+def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False):
     from meant_tpu.models import EmbeddingConfig
     from meant_tpu.models.meant_src import meant_src
 
@@ -56,6 +63,7 @@ def build_src(seq_len: int, batch: int = 16):
                       width=224, patch_res=16, lag=lag, num_classes=2,
                       embedding=EmbeddingConfig(), num_heads=8,
                       num_encoders=12, channels=3, seq_len=512, flash=True,
+                      fixed_proj=fixed_proj,
                       dtype=jnp.bfloat16)  # flash on BOTH branches: with
     # auto-sized q blocks the kernel now also edges XLA at the 196-patch
     # vision length (27.7 vs 29.0 ms/4-layer grad; 53.5 vs 52.5 samples/s
@@ -101,6 +109,12 @@ def main():
                     choices=["src512", "src256", "paper128",
                              "src_bucketed"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--fixed_proj", action="store_true",
+                    help="repaired lang/image projection (gelu before the "
+                         "seq-collapse Linear, DEFECTS #15) instead of the "
+                         "bug-faithful default; same matmul shapes, so "
+                         "throughput should match the default config while "
+                         "the loss actually decreases")
     args = ap.parse_args()
 
     from meant_tpu.data import ArrayLoader
@@ -115,7 +129,10 @@ def main():
     elif args.workload == "src_bucketed":
         model, name, loader, b, metric = build_src_bucketed()
     else:
-        model, name, data, b, metric = build_src(512)
+        model, name, data, b, metric = build_src(
+            512, fixed_proj=args.fixed_proj)
+    if args.fixed_proj:
+        metric += " [fixed_proj]"
     if loader is None:
         loader = ArrayLoader(data, b)
 
@@ -165,6 +182,7 @@ def main():
         db = trainer._device_batch(batch)
         state, loss, cm = trainer._jit_train(trainer.state, db)
         trainer.state = state
+        loss_first = float(loss)
         for _ in range(2):
             trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
         float(loss)
@@ -173,16 +191,20 @@ def main():
         t0 = time.perf_counter()
         for _ in range(steps):
             trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
-        float(loss)  # true barrier: value arrives only after the chain
-        dt = time.perf_counter() - t0
+        loss_last = float(loss)  # true barrier: value arrives only after
+        dt = time.perf_counter() - t0  # the chain
+        print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
+              f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
 
     samples_per_sec = steps * b / dt
     per_chip = samples_per_sec / max(n_chips, 1)
+    vs = (round(per_chip / BASELINE_SAMPLES_PER_SEC, 3)
+          if args.workload in BASELINED_WORKLOADS else None)
     print(json.dumps({
         "metric": metric,
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),
+        "vs_baseline": vs,
     }))
 
 

@@ -34,15 +34,47 @@ def serve_parser():
 
 
 def _synthetic_batch(args):
+    """Smoke batch matching the model's dispatch family: positional
+    paper-era models read tweets/graphs/attention_masks
+    (`train.classify.model_inputs`), kwargs-era models read
+    input_ids/pixels/prices/attention_mask (`src/trainer.py:236-243`)."""
+    from meant_tpu.train.classify import KWARGS_MODELS
+
     rng = np.random.RandomState(0)
     n, lag, s = args.synthetic_n, args.lag, args.seq_len
     size = args.image_size
-    return {
+    name = args.model_name
+    if name in ("meant_price", "mlp", "lstm"):
+        return {"prices": rng.randn(n, lag, 5).astype(np.float32)}
+    if name == "meant_mosi":
+        # MOSI features: pre-embedded text, 20-d video frames, 130-d audio
+        # over 50 frames (`src/utils/custom_datasets.py:574-607`)
+        f = 50
+        return {
+            "input_ids": rng.randn(n, f, args.text_dim).astype(np.float32),
+            "pixels": rng.randn(n, f, 20).astype(np.float32),
+            "audio": rng.randn(n, f, 130).astype(np.float32),
+            "audio_mask": np.ones((n, f), np.float32),
+        }
+    if name in KWARGS_MODELS:
+        return {
+            "input_ids": rng.randint(2, args.vocab_size - 1,
+                                     size=(n, lag, s)).astype(np.int32),
+            "pixels": rng.randn(n, lag, 3, size, size).astype(np.float32),
+            "prices": rng.randn(n, lag, 5).astype(np.float32),
+            "attention_mask": np.ones((n, lag, s), np.float32),
+        }
+    batch = {
         "tweets": rng.randint(2, args.vocab_size - 1,
                               size=(n, lag, s)).astype(np.int32),
         "graphs": rng.randn(n, lag, 4, size, size).astype(np.float32),
         "attention_masks": np.ones((n, lag, s), np.float32),
     }
+    if name in ("meantPrice", "meant_tweet_price", "teanet"):
+        batch["prices"] = rng.randn(n, lag, 5 if name ==
+                                    "meant_tweet_price" else 4) \
+            .astype(np.float32)
+    return batch
 
 
 def main(argv=None):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from meant_tpu.cli.common import str2bool
 from meant_tpu.cli.in_loop_genia import genia_parser, load_data
 from meant_tpu.data import ArrayLoader
 from meant_tpu.parallel import make_mesh
@@ -23,8 +24,12 @@ from meant_tpu.train.ner import TokenClassifier, ner_trainer
 
 def tweet7_parser():
     p = genia_parser()
-    p.add_argument("-crf", "--crf", type=bool, default=False,
-                   help="Conditional Random Field?")
+    # the reference uses argparse `type=bool` (any string truthy,
+    # `tweet7.py:357`); repaired with str2bool per repo policy — crash
+    # behavior (`--crf true` -> NotImplementedError) is preserved, but
+    # `--crf false` now actually means False
+    p.add_argument("-crf", "--crf", type=str2bool, nargs="?", const=True,
+                   default=False, help="Conditional Random Field?")
     p.add_argument("-lrwp", "--lr_warmup_step_ratio", type=float,
                    default=0.0,
                    help="Warmup ratio for our learning rate scheduler")

@@ -194,11 +194,16 @@ def _flash_fwd_online(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale,
     block_q = min(block_q, s_q)
     block_k = min(block_k, s_k)
     use_mask = kmask is not None
+    # 3-D (b_mask, 1, s_k) mask — see _flash_fwd for the lowering rationale
     if kmask is None:
-        kmask = jnp.ones((1, s_k), jnp.float32)
-        kmask_index = lambda i, j, kk: (0, 0)
+        kmask = jnp.ones((1, 1, s_k), jnp.float32)
+        kmask_index = lambda i, j, kk: (0, 0, 0)
     else:
-        kmask_index = lambda i, j, kk, h=num_heads: (i // h, kk)
+        kmask = kmask.reshape(kmask.shape[0], 1, s_k)
+        if kmask.shape[0] == 1:
+            kmask_index = lambda i, j, kk: (0, 0, kk)
+        else:
+            kmask_index = lambda i, j, kk, h=num_heads: (i // h, 0, kk)
     kernel = functools.partial(_fwd_online_kernel, scale=scale,
                                causal=causal, block_q=block_q,
                                block_k=block_k, use_mask=use_mask,
@@ -215,7 +220,7 @@ def _flash_fwd_online(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale,
                          memory_space=pltpu.VMEM),            # kcos
             pl.BlockSpec((block_k, d), lambda i, j, kk: (kk, 0),
                          memory_space=pltpu.VMEM),            # ksin
-            pl.BlockSpec((1, block_k), kmask_index,
+            pl.BlockSpec((1, 1, block_k), kmask_index,
                          memory_space=pltpu.VMEM),            # kmask
             pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),            # q
@@ -250,11 +255,18 @@ def _flash_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
     use_mask = kmask is not None
     block_q = min(block_q, s_q)
     grid = (bh, pl.cdiv(s_q, block_q))
+    # kmask is carried 3-D (b_mask, 1, s_k) so its block shape (1, 1, s_k)
+    # satisfies the TPU lowering rule on the last two dims (dim -2 == array
+    # dim); a 2-D (1, s_k) block on a (b, s_k) array fails for b > 1.
     if kmask is None:
-        kmask = jnp.ones((1, s_k), jnp.float32)
-        kmask_index = lambda i, j: (0, 0)
+        kmask = jnp.ones((1, 1, s_k), jnp.float32)
+        kmask_index = lambda i, j: (0, 0, 0)
     else:
-        kmask_index = lambda i, j, h=num_heads: (i // h, 0)
+        kmask = kmask.reshape(kmask.shape[0], 1, s_k)
+        if kmask.shape[0] == 1:  # broadcast mask (e.g. pure padding mask)
+            kmask_index = lambda i, j: (0, 0, 0)
+        else:
+            kmask_index = lambda i, j, h=num_heads: (i // h, 0, 0)
 
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                                block_q=block_q, use_mask=use_mask)
@@ -270,7 +282,7 @@ def _flash_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
                          memory_space=pltpu.VMEM),            # kcos
             pl.BlockSpec((s_k, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),            # ksin
-            pl.BlockSpec((1, s_k), kmask_index,
+            pl.BlockSpec((1, 1, s_k), kmask_index,
                          memory_space=pltpu.VMEM),            # kmask
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),            # q
@@ -356,11 +368,16 @@ def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
     s_k = k.shape[1]
     block_q = min(block_q, s_q)
     use_mask = kmask is not None
+    # 3-D (b_mask, 1, s_k) mask — see _flash_fwd for the lowering rationale
     if kmask is None:
-        kmask = jnp.ones((1, s_k), jnp.float32)
-        kmask_index = lambda i, j: (0, 0)
+        kmask = jnp.ones((1, 1, s_k), jnp.float32)
+        kmask_index = lambda i, j: (0, 0, 0)
     else:
-        kmask_index = lambda i, j, h=num_heads: (i // h, 0)
+        kmask = kmask.reshape(kmask.shape[0], 1, s_k)
+        if kmask.shape[0] == 1:
+            kmask_index = lambda i, j: (0, 0, 0)
+        else:
+            kmask_index = lambda i, j, h=num_heads: (i // h, 0, 0)
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
                                use_mask=use_mask, block_q=block_q)
     qtab = lambda: pl.BlockSpec((block_q, d), lambda i, j: (j, 0),
@@ -383,7 +400,7 @@ def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
         in_specs=[
             qtab(), qtab(),            # qcos, qsin
             ktab(), ktab(),            # kcos, ksin
-            pl.BlockSpec((1, s_k), kmask_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_k), kmask_index, memory_space=pltpu.VMEM),
             per_q(), per_k(), per_k(), per_q(),
         ],
         out_specs=(per_q(), per_k(), per_k()),
@@ -462,7 +479,7 @@ def _bwd_dkdv_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
                      q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                      dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
                      causal: bool, use_mask: bool, block_q: int,
-                     block_k: int, seq_q: int):
+                     block_k: int, seq_q: int, seq_k: int):
     """Streaming dK/dV: grid (bh, k_blocks, q_blocks), q innermost
     (sequential). dKr/dV accumulate in fp32 scratch; k-rotation adjoint is
     applied once on the last q block. No output-block revisiting."""
@@ -494,6 +511,14 @@ def _bwd_dkdv_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
             scores = jnp.where(col <= row, scores, -jnp.inf)
         if use_mask:
             scores = scores + (1.0 - kmask_ref[0]) * -1e9
+        if seq_k % block_k != 0:
+            # defense for direct callers (flash_mha always block-pads):
+            # block-padded k columns hold undefined K/V — mask them so the
+            # garbage never reaches p/dp even though the padded dK/dV rows
+            # are discarded by the caller anyway
+            colk = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                + kk * block_k
+            scores = jnp.where(colk < seq_k, scores, -jnp.inf)
         p = jnp.exp(scores - lse_ref[0])               # (block_q, block_k)
         if seq_q % block_q != 0:
             # block-padded q rows carry undefined lse/do — zero their
@@ -540,13 +565,19 @@ def _flash_bwd_online(q, k, v, do, lse, delta, kmask, qcos, qsin, kcos,
     block_q = min(block_q, s_q)
     block_k = min(block_k, s_k)
     use_mask = kmask is not None
+    # 3-D (b_mask, 1, s_k) mask — see _flash_fwd for the lowering rationale
     if kmask is None:
-        kmask = jnp.ones((1, s_k), jnp.float32)
-        kmask_dq = lambda i, j, kk: (0, 0)
-        kmask_dkv = lambda i, kk, j: (0, 0)
+        kmask = jnp.ones((1, 1, s_k), jnp.float32)
+        kmask_dq = lambda i, j, kk: (0, 0, 0)
+        kmask_dkv = lambda i, kk, j: (0, 0, 0)
     else:
-        kmask_dq = lambda i, j, kk, h=num_heads: (i // h, kk)
-        kmask_dkv = lambda i, kk, j, h=num_heads: (i // h, kk)
+        kmask = kmask.reshape(kmask.shape[0], 1, s_k)
+        if kmask.shape[0] == 1:
+            kmask_dq = lambda i, j, kk: (0, 0, kk)
+            kmask_dkv = lambda i, kk, j: (0, 0, kk)
+        else:
+            kmask_dq = lambda i, j, kk, h=num_heads: (i // h, 0, kk)
+            kmask_dkv = lambda i, kk, j, h=num_heads: (i // h, 0, kk)
 
     vm = pltpu.VMEM
     common = dict(scale=scale, causal=causal, use_mask=use_mask,
@@ -564,7 +595,7 @@ def _flash_bwd_online(q, k, v, do, lse, delta, kmask, qcos, qsin, kcos,
                          memory_space=vm),                     # kcos
             pl.BlockSpec((block_k, d), lambda i, j, kk: (kk, 0),
                          memory_space=vm),                     # ksin
-            pl.BlockSpec((1, block_k), kmask_dq, memory_space=vm),
+            pl.BlockSpec((1, 1, block_k), kmask_dq, memory_space=vm),
             pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                          memory_space=vm),                     # q
             pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
@@ -586,7 +617,7 @@ def _flash_bwd_online(q, k, v, do, lse, delta, kmask, qcos, qsin, kcos,
     )(qcos, qsin, kcos, ksin, kmask, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkdv_kernel, seq_q=s_q, **common),
+        functools.partial(_bwd_dkdv_kernel, seq_q=s_q, seq_k=s_k, **common),
         grid=(bh, pl.cdiv(s_k, block_k), pl.cdiv(s_q, block_q)),
         in_specs=[
             pl.BlockSpec((block_q, d), lambda i, kk, j: (j, 0),
@@ -597,7 +628,7 @@ def _flash_bwd_online(q, k, v, do, lse, delta, kmask, qcos, qsin, kcos,
                          memory_space=vm),                     # kcos
             pl.BlockSpec((block_k, d), lambda i, kk, j: (kk, 0),
                          memory_space=vm),                     # ksin
-            pl.BlockSpec((1, block_k), kmask_dkv, memory_space=vm),
+            pl.BlockSpec((1, 1, block_k), kmask_dkv, memory_space=vm),
             pl.BlockSpec((1, block_q, d), lambda i, kk, j: (i, j, 0),
                          memory_space=vm),                     # q
             pl.BlockSpec((1, block_k, d), lambda i, kk, j: (i, kk, 0),
@@ -771,7 +802,7 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
         kcos = jnp.pad(kcos, ((0, pad_k), (0, 0)), constant_values=1.0)
         ksin = jnp.pad(ksin, ((0, pad_k), (0, 0)))
         if kmask is None:  # padded keys must not enter the softmax
-            kmask = jnp.ones((b, s_k), jnp.float32)
+            kmask = jnp.ones((1, s_k), jnp.float32)  # broadcast over batch
         kmask = jnp.pad(kmask, ((0, 0), (0, pad_k)))
     fn = _make_flash(float(scale), bool(causal), h, bq,
                      bool(interpret), online=bool(online), block_k=bk)

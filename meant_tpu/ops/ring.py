@@ -73,13 +73,22 @@ def ring_attention_local(q, k, v, kmask=None, *, scale: float,
     stats = (jnp.full((b, h, s_loc, 1), -jnp.inf, jnp.float32),
              jnp.zeros((b, h, s_loc, 1), jnp.float32),
              jnp.zeros((b, h, s_loc, d), jnp.float32))
-    if hasattr(jax.lax, "pvary"):
-        # newer shard_map tracks device-varying axes: the constant-filled
-        # m/l/acc carry inits must be marked varying to match the body's
-        # outputs (k/v/kmask are already varying)
+    # Newer shard_map tracks device-varying axes: the constant-filled
+    # m/l/acc carry inits must be marked varying to match the body's
+    # outputs (k/v/kmask are already varying). jax.lax.pvary is the
+    # deprecated spelling; prefer its replacement pcast(..., to='varying')
+    # when present so the code tracks the API instead of silently
+    # degrading once pvary is removed.
+    if hasattr(jax.lax, "pcast"):
+        _mark_varying = functools.partial(jax.lax.pcast, to="varying")
+    elif hasattr(jax.lax, "pvary"):
+        _mark_varying = jax.lax.pvary
+    else:
+        _mark_varying = None
+    if _mark_varying is not None:
         stats = jax.tree.map(
             lambda x: (x if axis_name in getattr(jax.typeof(x), "vma", ())
-                       else jax.lax.pvary(x, axis_name)), stats)
+                       else _mark_varying(x, axis_name)), stats)
     init = (k, v, kmask.astype(jnp.float32), *stats)
     *_, m, l, acc = jax.lax.fori_loop(0, n, body, init)
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)

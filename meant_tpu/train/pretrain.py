@@ -78,6 +78,10 @@ class _BasePretrainer:
             steps_per_epoch=max(len(self.train_data), 1),
             warmup_steps=p.get("warmup_steps", 0),
             total_steps=p.get("total_steps", 0))
+        # optional pretrained sub-tree graft: keys present in init_params
+        # override the fresh init (the reference's pretrained-load /
+        # encoder-graft workflow, `in_loop_train.py:496-507`)
+        self.init_params = p.get("init_params")
         self.state = None
         self._jit_train = None
         self._jit_eval = None
@@ -93,6 +97,9 @@ class _BasePretrainer:
         rng = jax.random.PRNGKey(self.seed)
         variables = self._init_variables(rng, batch)
         params = variables["params"]
+        if self.init_params:
+            params = dict(params)
+            params.update(self.init_params)
         tx = build_optimizer(params, **self._opt_kwargs)
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx)
