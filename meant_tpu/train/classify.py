@@ -128,6 +128,9 @@ class meant_trainer:
         self.track = p.get("track", False)
         self.seed = p.get("seed", 0)
         self.epoch_offset = p.get("epoch", 0)
+        # optional explicit starting params (ported reference weights /
+        # resume / graft); resume paths also set this after __init__
+        self.init_params = p.get("init_params")
 
         self.mesh = p.get("mesh") or make_mesh()
         # gradient accumulation (`src/trainer.py:222-251`; the reference's
