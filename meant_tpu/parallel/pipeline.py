@@ -42,13 +42,16 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x, *, mesh: Mesh,
 
     layer_fn(params_i, x) -> x applies ONE layer. `stacked_params` leaves
     have a leading layer axis L divisible by the stage count; each stage
-    scans its local L/n layers. x: (B, ...) with B divisible by the
+    scans its local L/n layers. x: a (B, ...) array OR a pytree of such
+    arrays (e.g. (hidden, attention_mask) for the MEANT LanguageEncoder —
+    layer_fn must return the same structure); B must be divisible by the
     microbatch count (default = stage count)."""
     n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     m = microbatches or n
-    B = x.shape[0]
+    B = jax.tree.leaves(x)[0].shape[0]
     assert B % m == 0, f"batch {B} not divisible into {m} microbatches"
-    micro = x.reshape(m, B // m, *x.shape[1:])
+    micro = jax.tree.map(
+        lambda a: a.reshape(m, B // m, *a.shape[1:]), x)
 
     param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
 
@@ -63,30 +66,41 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x, *, mesh: Mesh,
 
         def step(carry, t):
             state, outs = carry
-            inject = micro_all[jnp.minimum(t, m - 1)]
-            state = jnp.where(jnp.logical_and(stage == 0, t < m),
-                              inject, state)
+            inject = jax.tree.map(lambda a: a[jnp.minimum(t, m - 1)],
+                                  micro_all)
+            put = jnp.logical_and(stage == 0, t < m)
+            state = jax.tree.map(lambda i, s: jnp.where(put, i, s),
+                                 inject, state)
             state = run_local(state)
             idx = jnp.clip(t - (n - 1), 0, m - 1)
             take = jnp.logical_and(stage == n - 1, t >= n - 1)
-            outs = outs.at[idx].set(
-                jnp.where(take, state, outs[idx]))
+            outs = jax.tree.map(
+                lambda o, s: o.at[idx].set(jnp.where(take, s, o[idx])),
+                outs, state)
             state = jax.lax.ppermute(state, axis, perm)
             return (state, outs), None
 
-        init = (jnp.zeros_like(micro_all[0]), jnp.zeros_like(micro_all))
-        if hasattr(jax.lax, "pvary"):
+        init = (jax.tree.map(lambda a: jnp.zeros_like(a[0]), micro_all),
+                jax.tree.map(jnp.zeros_like, micro_all))
+        # mark the carry device-varying; pcast is pvary's replacement
+        if hasattr(jax.lax, "pcast"):
+            init = jax.tree.map(
+                lambda z: jax.lax.pcast(z, axis, to="varying"), init)
+        elif hasattr(jax.lax, "pvary"):
             init = jax.tree.map(lambda z: jax.lax.pvary(z, axis), init)
         (state, outs), _ = jax.lax.scan(step, init,
                                         jnp.arange(m + n - 1))
         # only the last stage wrote outputs — psum broadcasts them
         return jax.lax.psum(
-            jnp.where(stage == n - 1, outs, jnp.zeros_like(outs)), axis)
+            jax.tree.map(
+                lambda o: jnp.where(stage == n - 1, o, jnp.zeros_like(o)),
+                outs), axis)
 
     fn = _shard_map(body, mesh, in_specs=(param_specs, P()),
                     out_specs=P())
     outs = fn(stacked_params, micro)
-    return outs.reshape(B, *x.shape[1:])
+    return jax.tree.map(
+        lambda o, a: o.reshape(B, *a.shape[1:]), outs, x)
 
 
 def pipeline_stage_shardings(stacked_params, mesh: Mesh,
