@@ -88,6 +88,9 @@ def base_parser() -> argparse.ArgumentParser:
                    default=False)
     p.add_argument("--synthetic_n", type=int, default=64,
                    help="synthetic sample count when --data_dir is omitted")
+    p.add_argument("--seed", type=int, default=0,
+                   help="init/dropout PRNG seed (run_other_models pins 42 "
+                        "to mirror the reference's torch.manual_seed)")
     p.add_argument("--buckets", type=str, default=None,
                    help="comma-separated length buckets for bucketed "
                         "training batches (e.g. 128,256,384,512) — the "

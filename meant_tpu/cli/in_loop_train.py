@@ -73,7 +73,7 @@ def main(argv=None):
         "lrst": args.learning_rate_scheduler_type, "t0": args.t0,
         "tmax": args.tmax, "early_stopping": args.early_stopping,
         "test_model": args.test_model, "track": args.track,
-        "mesh": make_mesh(),
+        "seed": args.seed, "mesh": make_mesh(),
     })
 
     if args.pretrained and args.pretrained_model:

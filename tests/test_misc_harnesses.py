@@ -167,3 +167,38 @@ def test_hug_config_surface_complete():
     assert load_config("bert_ner_large")["hidden_size"] == 1024
     assert load_config("roberta_tweet")["num_labels"] == 15
     assert load_config("biobert")["vocab_size"] == 28996
+
+
+def test_run_other_models_domain_and_metrics_quirk(tmp_path, capsys):
+    """run_other_models: restricted model domain ('Pass a valid model
+    name.', run_other_models.py:395-431) and the recall-is-precision
+    metrics copy bug (:85-86, DEFECTS #27)."""
+    import pytest
+
+    from meant_tpu.cli.run_other_models import (_reference_metrics_block,
+                                                main)
+
+    with pytest.raises(ValueError, match="Pass a valid model name."):
+        main(["-rid", "t", "-mn", "meant_src", "--synthetic_n", "8"])
+
+    m = {"accuracy": 0.5, "f1_macro": 0.4, "f1_micro": 0.5,
+         "precision_macro": 0.7, "precision_micro": 0.6,
+         "recall_macro": 0.3, "recall_micro": 0.2}
+    quirky = dict(_reference_metrics_block(m, "test", fixed_metrics=False))
+    assert quirky["Macro test recall: "] == m["precision_macro"]
+    assert quirky["Micro test recall: "] == m["precision_micro"]
+    fixed = dict(_reference_metrics_block(m, "test", fixed_metrics=True))
+    assert fixed["Macro test recall: "] == m["recall_macro"]
+
+
+def test_run_other_models_smoke(tmp_path):
+    """End-to-end smoke at tiny geometry through the delegate path (seed 42
+    forwarded, run_other_models.py:37)."""
+    from meant_tpu.cli.run_other_models import main
+
+    res = main(["-rid", "t", "-mn", "meant_tweet", "-ne", "1",
+                "--synthetic_n", "16", "-tb", "8", "--seq_len", "16",
+                "--text_dim", "32", "--num_heads", "4", "-nec", "1",
+                "--vocab_size", "100", "-fp", str(tmp_path),
+                "-testm", "true"])
+    assert res["history"]
