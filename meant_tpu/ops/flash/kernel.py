@@ -673,14 +673,90 @@ def _xla_reference(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
                   attention_mask=kmask)
 
 
+def _spmd_wrap(impl, rule: str):
+    """Wrap `impl` with SPMD partitioning rules so jit/pjit can shard the
+    pallas custom call over the BATCH and HEAD axes instead of gathering
+    and replicating it (which is what the partitioner does with an opaque
+    custom call — measured: a batch-sharded `jit(grad(flash_attention))`
+    over an 8-device mesh came back fully replicated).
+
+    `rule` is the Shardy einsum-like mapping, e.g.
+    'b h q e, b h k e, ... -> b h q e'. Factors `b` (batch) and `h`
+    (heads) shard through; every OTHER factor is declared
+    need-replication — the kernel needs whole sequence rows (sequence
+    sharding is ring attention's job, ops/ring.py). Kernels derive the
+    head count from the LOCAL shapes, so head (megatron TP) sharding
+    works too. The same mapping drives both the Shardy rule and the
+    legacy partition callbacks (older GSPMD path)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn = custom_partitioning(impl)
+    in_maps, out_maps = (
+        [m.split() for m in side.split(",")]
+        for side in rule.split("->"))
+    order = []   # factors by first appearance (Shardy wants special
+    for m in in_maps + out_maps:       # factors sorted by factor index)
+        for f in m:
+            if f not in order:
+                order.append(f)
+    replicated = tuple(f for f in order if f not in ("b", "h"))
+
+    def _shardings(mesh, arg_shapes, result_shape):
+        spec = ()
+        sh = getattr(arg_shapes[0], "sharding", None)
+        if sh is not None and hasattr(sh, "spec"):
+            spec = tuple(sh.spec)
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[1] if len(spec) > 1 else None
+        axis = {"b": b_ax, "h": h_ax}
+
+        def mk(mapping):
+            return NamedSharding(
+                mesh, P(*(axis.get(f) for f in mapping)))
+
+        args = tuple(mk(m) for m in in_maps)
+        flat, tree = jax.tree.flatten(result_shape)
+        outs = jax.tree.unflatten(tree, [mk(m) for m in out_maps[:len(flat)]])
+        return args, outs
+
+    def partition(mesh, arg_shapes, result_shape):
+        args, outs = _shardings(mesh, arg_shapes, result_shape)
+        return mesh, impl, outs, args
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _shardings(mesh, arg_shapes, result_shape)[1]
+
+    fn.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer,
+                     sharding_rule=rule,
+                     need_replication_factors=replicated)
+    return fn
+
+
 @functools.lru_cache(maxsize=64)
 def _make_flash(scale: float, causal: bool, num_heads: int, block_q: int,
                 interpret: bool, online: bool = False,
-                block_k: int = DEFAULT_BLOCK_K):
-    def run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin):
-        """Returns (out (b,h,s,d), lse (bh,s_q,1) or None)."""
+                block_k: int = DEFAULT_BLOCK_K, with_lse: bool = False,
+                spmd: bool = True):
+    """with_lse=True (requires online=True) returns (out, lse (b,h,s_q,1))
+    with a JOINT custom VJP: the lse cotangent folds into the backward's
+    delta input (d lse_i/d score_ij = p_ij, so ds = p*(dp - (delta - g_lse))
+    — one subtraction, same kernels). This is the chunk primitive for ring
+    attention (ops/ring.py): per-chunk outputs combine across the ring with
+    an online-softmax merge in XLA, and grads flow through both out and lse.
+
+    spmd=True teaches the partitioner to shard the kernel over batch/head
+    mesh axes (`_spmd_wrap`); pass False when already inside a shard_map
+    (the ring path)."""
+    assert not (with_lse and not online), "with_lse requires the online path"
+
+    def fwd_impl(q, k, v, kmask, qcos, qsin, kcos, ksin):
+        """(b,h,s,d) in; returns (out, lse (b,h,s_q,1)) online, out else.
+        num_heads comes from the LOCAL shape (SPMD shards may carry fewer
+        heads than the global call)."""
         b, h, s_q, d = q.shape
-        common = dict(scale=scale, causal=causal, num_heads=num_heads,
+        common = dict(scale=scale, causal=causal, num_heads=h,
                       block_q=block_q, interpret=interpret)
         qf = q.reshape(b * h, s_q, d)
         kf = k.reshape(b * h, k.shape[2], d)
@@ -689,45 +765,111 @@ def _make_flash(scale: float, causal: bool, num_heads: int, block_q: int,
             out, lse = _flash_fwd_online(qf, kf, vf, kmask, qcos, qsin,
                                          kcos, ksin, block_k=block_k,
                                          **common)
-        else:
-            out = _flash_fwd(qf, kf, vf, kmask, qcos, qsin, kcos, ksin,
-                             **common)
-            lse = None
-        return out.reshape(b, h, s_q, d), lse
+            return out.reshape(b, h, s_q, d), lse.reshape(b, h, s_q)
+        out = _flash_fwd(qf, kf, vf, kmask, qcos, qsin, kcos, ksin,
+                         **common)
+        return out.reshape(b, h, s_q, d)
+
+    def bwd_online_impl(q, k, v, kmask, qcos, qsin, kcos, ksin, out, lse,
+                        g, g_lse):
+        """(b,h,s,d)-shaped residuals/cotangents in (lse/g_lse (b,h,s));
+        (dq, dk, dv) out."""
+        b, h, s_q, d = q.shape
+        s_k = k.shape[2]
+        # delta = rowsum(dO * O) — cheap elementwise+reduce in XLA; the
+        # lse cotangent folds straight into it.
+        delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1).reshape(b * h, s_q, 1)
+        delta = delta - g_lse.astype(jnp.float32).reshape(b * h, s_q, 1)
+        dq, dk, dv = _flash_bwd_online(
+            q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
+            v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d),
+            lse.reshape(b * h, s_q, 1), delta, kmask, qcos, qsin, kcos,
+            ksin, scale=scale, causal=causal, num_heads=h, block_q=block_q,
+            block_k=block_k, interpret=interpret)
+        return (dq.reshape(b, h, s_q, d), dk.reshape(b, h, s_k, d),
+                dv.reshape(b, h, s_k, d))
+
+    def bwd_resident_impl(q, k, v, kmask, qcos, qsin, kcos, ksin, g):
+        """Resident-path backward: recomputes softmax in-kernel, so no
+        out/lse/delta residuals cross the call boundary."""
+        b, h, s_q, d = q.shape
+        s_k = k.shape[2]
+        dq, dk, dv = _flash_bwd(
+            q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
+            v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d), kmask,
+            qcos, qsin, kcos, ksin, scale=scale, causal=causal,
+            num_heads=h, block_q=block_q, interpret=interpret)
+        return (dq.reshape(b, h, s_q, d), dk.reshape(b, h, s_k, d),
+                dv.reshape(b, h, s_k, d))
+
+    bwd_impl = bwd_online_impl if online else bwd_resident_impl
+    QKV = "b h q e, b h k e, b h k e"
+    TABLES = "q e, q e, k e, k e"
+    OUT = "b h q e, b h q" if online else "b h q e"
+    RES = (", b h q e, b h q, b h q e, b h q"  # out, lse, g, g_lse
+           if online else ", b h q e")         # just g
+    if spmd:
+        # mask/no-mask variants: None can't ride through a custom call
+        fwd_mask = _spmd_wrap(
+            fwd_impl, f"{QKV}, b k, {TABLES} -> {OUT}")
+        fwd_nomask = _spmd_wrap(
+            lambda q, k, v, *t: fwd_impl(q, k, v, None, *t),
+            f"{QKV}, {TABLES} -> {OUT}")
+        bwd_mask = _spmd_wrap(
+            bwd_impl, f"{QKV}, b k, {TABLES}{RES} -> {QKV}")
+        bwd_nomask = _spmd_wrap(
+            lambda q, k, v, *t: bwd_impl(q, k, v, None, *t),
+            f"{QKV}, {TABLES}{RES} -> {QKV}")
+    else:
+        fwd_mask = fwd_impl
+        fwd_nomask = lambda q, k, v, *t: fwd_impl(q, k, v, None, *t)
+        bwd_mask = bwd_impl
+        bwd_nomask = lambda q, k, v, *t: bwd_impl(q, k, v, None, *t)
+
+    def run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin):
+        if kmask is None:
+            return fwd_nomask(q, k, v, qcos, qsin, kcos, ksin)
+        return fwd_mask(q, k, v, kmask, qcos, qsin, kcos, ksin)
+
+    def run_bwd(q, k, v, kmask, qcos, qsin, kcos, ksin, *res_and_g):
+        if kmask is None:
+            return bwd_nomask(q, k, v, qcos, qsin, kcos, ksin, *res_and_g)
+        return bwd_mask(q, k, v, kmask, qcos, qsin, kcos, ksin, *res_and_g)
 
     @jax.custom_vjp
     def f(q, k, v, kmask, qcos, qsin, kcos, ksin):
-        return run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin)[0]
+        res = run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin)
+        if with_lse:
+            return res
+        return res[0] if online else res
 
     def fwd(q, k, v, kmask, qcos, qsin, kcos, ksin):
-        out, lse = run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin)
+        if online:
+            out, lse = run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin)
+        else:
+            out, lse = run_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin), None
         res = (q, k, v, kmask, qcos, qsin, kcos, ksin,
                out if online else None, lse)
+        if with_lse:
+            return (out, lse), res
         return out, res
 
     def bwd(res, g):
         q, k, v, kmask, qcos, qsin, kcos, ksin, out, lse = res
-        b, h, s_q, d = q.shape
-        s_k = k.shape[2]
+        b, h, s_q, _ = q.shape
+        g_lse = None
+        if with_lse:
+            g, g_lse = g
         if online:
-            # delta = rowsum(dO * O) — cheap elementwise+reduce in XLA.
-            delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                            axis=-1).reshape(b * h, s_q, 1)
-            dq, dk, dv = _flash_bwd_online(
-                q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
-                v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d),
-                lse, delta, kmask, qcos, qsin, kcos, ksin, scale=scale,
-                causal=causal, num_heads=num_heads, block_q=block_q,
-                block_k=block_k, interpret=interpret)
+            if g_lse is None:
+                g_lse = jnp.zeros((b, h, s_q), jnp.float32)
+            dq, dk, dv = run_bwd(q, k, v, kmask, qcos, qsin, kcos, ksin,
+                                 out, lse, g, g_lse)
         else:
-            dq, dk, dv = _flash_bwd(
-                q.reshape(b * h, s_q, d), k.reshape(b * h, s_k, d),
-                v.reshape(b * h, s_k, d), g.reshape(b * h, s_q, d),
-                kmask, qcos, qsin, kcos, ksin, scale=scale, causal=causal,
-                num_heads=num_heads, block_q=block_q, interpret=interpret)
+            dq, dk, dv = run_bwd(q, k, v, kmask, qcos, qsin, kcos, ksin, g)
         zeros = lambda t: None if t is None else jnp.zeros_like(t)
-        return (dq.reshape(b, h, s_q, d), dk.reshape(b, h, s_k, d),
-                dv.reshape(b, h, s_k, d), zeros(kmask),
+        return (dq, dk, dv, zeros(kmask),
                 jnp.zeros_like(qcos), jnp.zeros_like(qsin),
                 jnp.zeros_like(kcos), jnp.zeros_like(ksin))
 
@@ -745,7 +887,9 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
               block_q: Optional[int] = None,
               block_k: int = DEFAULT_BLOCK_K,
               force_online: Optional[bool] = None,
-              interpret: Optional[bool] = None):
+              interpret: Optional[bool] = None,
+              return_lse: bool = False,
+              spmd: bool = True):
     """Fused rotary + attention. q/k/v: (b, h, s, d). The four tables are
     (s, d) fp32 (identity rotation when None). K/V stream blockwise with an
     online softmax when s_k > K_RESIDENT_LIMIT (or force_online=True).
@@ -771,6 +915,8 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
         kmask = attention_mask.astype(jnp.float32)
     online = (force_online if force_online is not None
               else s_k > K_RESIDENT_LIMIT)
+    if return_lse:
+        online = True  # lse is a product of the online forward
 
     if block_q is None:
         # auto q-block sized to a ~4 MB VMEM budget for the fp32 score
@@ -804,7 +950,17 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
         if kmask is None:  # padded keys must not enter the softmax
             kmask = jnp.ones((1, s_k), jnp.float32)  # broadcast over batch
         kmask = jnp.pad(kmask, ((0, 0), (0, pad_k)))
+    if spmd and kmask is not None and kmask.shape[0] == 1 and b > 1:
+        # the SPMD sharding rule maps the mask's leading dim to the batch
+        # factor — materialize the broadcast (tiny: b x s_k fp32)
+        kmask = jnp.broadcast_to(kmask, (b, kmask.shape[1]))
     fn = _make_flash(float(scale), bool(causal), h, bq,
-                     bool(interpret), online=bool(online), block_k=bk)
+                     bool(interpret), online=bool(online), block_k=bk,
+                     with_lse=bool(return_lse), spmd=bool(spmd))
+    if return_lse:
+        out, lse = fn(q, k, v, kmask, qcos, qsin, kcos, ksin)
+        if pad_q:
+            out, lse = out[:, :, :s_q], lse[:, :, :s_q]
+        return out, lse[..., None]
     out = fn(q, k, v, kmask, qcos, qsin, kcos, ksin)
     return out[:, :, :s_q] if pad_q else out

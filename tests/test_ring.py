@@ -111,3 +111,58 @@ def test_language_encoder_ring_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4,
                                    err_msg=str(pa))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_flash_matches_attend(causal):
+    """Flash-engine ring (Pallas kernel per chunk, interpret mode on CPU,
+    s_loc = 512 per device) == dense attention (VERDICT r2 #7)."""
+    mesh = make_mesh()
+    n = len(jax.devices())
+    q, k, v = make_qkv(b=1, h=2, s=512 * n, d=32, seed=3)
+    scale = 1.0 / np.sqrt(32)
+    out = ring_attend(q, k, v, mesh=mesh, scale=scale, causal=causal,
+                      use_flash=True)
+    ref = ops.attend(q, k, v, scale=scale, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_flash_with_padding_mask():
+    mesh = make_mesh()
+    n = len(jax.devices())
+    s = 512 * n
+    q, k, v = make_qkv(b=2, h=2, s=s, d=32, seed=4)
+    mask = np.ones((2, s), np.float32)
+    mask[0, s - 700:] = 0
+    mask[1, 1000:] = 0
+    scale = 0.125
+    out = ring_attend(q, k, v, mesh=mesh, scale=scale, causal=True,
+                      attention_mask=jnp.asarray(mask), use_flash=True)
+    ref = ops.attend(q, k, v, scale=scale, causal=True,
+                     attention_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_flash_grads_match_attend():
+    """Grads flow through the joint (out, lse) kernel VJP + the XLA
+    online-softmax combine + the ppermute rotations."""
+    mesh = make_mesh()
+    n = len(jax.devices())
+    q, k, v = make_qkv(b=1, h=1, s=128 * n, d=16, seed=5)
+    scale = 0.25
+
+    def loss_ring(q_, k_, v_):
+        return jnp.sum(ring_attend(q_, k_, v_, mesh=mesh, scale=scale,
+                                   causal=True, use_flash=True) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(ops.attend(q_, k_, v_, scale=scale, causal=True)
+                       ** 2)
+
+    gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
