@@ -54,7 +54,8 @@ def build_paper128():
     return model, "meant", data, b, metric
 
 
-def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False):
+def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
+              num_encoders: int = 12, remat: bool = False):
     from meant_tpu.models import EmbeddingConfig
     from meant_tpu.models.meant_src import meant_src
 
@@ -62,8 +63,8 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False):
     model = meant_src(text_dim=768, image_dim=768, price_dim=5, height=224,
                       width=224, patch_res=16, lag=lag, num_classes=2,
                       embedding=EmbeddingConfig(), num_heads=8,
-                      num_encoders=12, channels=3, seq_len=512, flash=True,
-                      fixed_proj=fixed_proj,
+                      num_encoders=num_encoders, channels=3, seq_len=512,
+                      flash=True, fixed_proj=fixed_proj, remat=remat,
                       dtype=jnp.bfloat16)  # flash on BOTH branches: with
     # auto-sized q blocks the kernel now also edges XLA at the 196-patch
     # vision length (27.7 vs 29.0 ms/4-layer grad; 53.5 vs 52.5 samples/s
@@ -76,8 +77,9 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False):
         "attention_masks": np.ones((b, lag, s), np.float32),
         "y": rng.randint(0, 2, size=(b,)).astype(np.int32),
     }
-    metric = (f"TempStockLarge(src meant-12) train samples/sec/chip "
-              f"(s={s} full padding, bf16, flash)")
+    metric = (f"TempStockLarge(src meant-{num_encoders}) train "
+              f"samples/sec/chip (s={s} full padding, bf16, flash"
+              + (", remat" if remat else "") + ")")
     return model, "meant_src", data, b, metric
 
 
@@ -107,8 +109,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="src512",
                     choices=["src512", "src256", "paper128",
-                             "src_bucketed"])
+                             "src_bucketed", "src512_large"])
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the workload's default batch size")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder blocks (trades FLOPs for "
+                         "HBM — the lever that fits meant-LARGE at s=512)")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--with-input", dest="with_input", action="store_true",
+                    help="feed the step through the REAL input pipeline "
+                         "(Prefetcher overlapping host collate + H2D) "
+                         "instead of replaying a device-resident batch. "
+                         "Demonstrates overlap; the absolute number is NOT "
+                         "representative on this sandbox (the tunneled TPU "
+                         "moves H2D at ~25 MB/s vs PCIe's ~10s of GB/s), so "
+                         "vs_baseline is omitted")
+    ap.add_argument("--uint8_charts", action="store_true",
+                    help="with --with-input: ship charts as uint8 "
+                         "(normalize-on-device storage layout, 4x less "
+                         "host IO and H2D)")
     ap.add_argument("--fixed_proj", action="store_true",
                     help="repaired lang/image projection (gelu before the "
                          "seq-collapse Linear, DEFECTS #15) instead of the "
@@ -121,16 +140,23 @@ def main():
     from meant_tpu.parallel import make_mesh
     from meant_tpu.train import meant_trainer
 
-    loader = None
+    loader = data = None
     if args.workload == "paper128":
         model, name, data, b, metric = build_paper128()
     elif args.workload == "src256":
-        model, name, data, b, metric = build_src(256)
+        model, name, data, b, metric = build_src(256, batch=args.batch or 16)
     elif args.workload == "src_bucketed":
         model, name, loader, b, metric = build_src_bucketed()
+    elif args.workload == "src512_large":
+        # the paper's Table-1 98.57% geometry (30+30 encoders,
+        # `meant_tex.pdf`) on the src-era s=512 workload
+        model, name, data, b, metric = build_src(
+            512, batch=args.batch or 8, num_encoders=30,
+            fixed_proj=args.fixed_proj, remat=args.remat)
     else:
         model, name, data, b, metric = build_src(
-            512, fixed_proj=args.fixed_proj)
+            512, batch=args.batch or 16, fixed_proj=args.fixed_proj,
+            remat=args.remat)
     if args.fixed_proj:
         metric += " [fixed_proj]"
     if loader is None:
@@ -152,7 +178,35 @@ def main():
     # jax.block_until_ready can return before execution completes — fetching
     # the scalar value is the only reliable completion barrier, so timings
     # below close with float(loss).
-    if args.workload == "src_bucketed":
+    if args.with_input:
+        # REAL pipeline: host batches flow through the Prefetcher (collate
+        # thread + H2D staging overlapped with compute) every step.
+        from meant_tpu.data.loader import Prefetcher
+        if data is not None:
+            if args.uint8_charts and "pixels" in data:
+                data["pixels"] = np.clip(
+                    (data["pixels"] - data["pixels"].min()) * 40, 0,
+                    255).astype(np.uint8)
+            # widen the single synthetic batch into an epoch of batches so
+            # the loop exercises sustained pipeline flow
+            reps = min(max(args.steps, 2), 8)
+            data = {k: np.repeat(v, reps, axis=0) for k, v in data.items()}
+            loader = ArrayLoader(data, b)
+            trainer.train_loader = loader
+        pf = Prefetcher(loader, trainer._device_batch)
+        it = iter(pf)
+        db0 = next(it)
+        trainer.state, loss, cm = trainer._jit_train(trainer.state, db0)
+        float(loss)   # compile barrier
+        steps = 0
+        t0 = time.perf_counter()
+        for db in it:
+            trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
+            steps += 1
+        float(loss)
+        dt = time.perf_counter() - t0
+        metric += " [with-input%s]" % ("+u8" if args.uint8_charts else "")
+    elif args.workload == "src_bucketed":
         # Pre-stage ONE device batch per bucket and replay the epoch's
         # bucket sequence. Timing excludes host->device transfer: over the
         # sandbox's tunneled TPU it runs at ~25 MB/s and would swamp the
@@ -199,7 +253,8 @@ def main():
     samples_per_sec = steps * b / dt
     per_chip = samples_per_sec / max(n_chips, 1)
     vs = (round(per_chip / BASELINE_SAMPLES_PER_SEC, 3)
-          if args.workload in BASELINED_WORKLOADS else None)
+          if args.workload in BASELINED_WORKLOADS and not args.with_input
+          else None)
     print(json.dumps({
         "metric": metric,
         "value": round(per_chip, 2),
