@@ -1,8 +1,10 @@
-from .mesh import (batch_sharding, make_mesh, replicate_tree, replicated,
+from .mesh import (batch_sharding, make_hybrid_mesh, make_mesh,
+                   replicate_tree, replicated,
                    shard_batch)
 from .sharding_rules import (DEFAULT_TP_RULES, param_shardings,
                              shard_params)
 
-__all__ = ["batch_sharding", "make_mesh", "replicate_tree", "replicated",
+__all__ = ["batch_sharding", "make_hybrid_mesh", "make_mesh",
+           "replicate_tree", "replicated",
            "shard_batch", "DEFAULT_TP_RULES", "param_shardings",
            "shard_params"]
