@@ -128,6 +128,12 @@ def main():
                     help="with --with-input: ship charts as uint8 "
                          "(normalize-on-device storage layout, 4x less "
                          "host IO and H2D)")
+    ap.add_argument("--eval", dest="eval_mode", action="store_true",
+                    help="measure the EVAL step (forward + loss + "
+                         "confusion-matrix delta, no backward/optimizer) "
+                         "instead of training — the serving/validation "
+                         "path. vs_baseline omitted (the A100 number is a "
+                         "training rate)")
     ap.add_argument("--fixed_proj", action="store_true",
                     help="repaired lang/image projection (gelu before the "
                          "seq-collapse Linear, DEFECTS #15) instead of the "
@@ -232,6 +238,19 @@ def main():
                 steps += 1
         float(loss)
         dt = time.perf_counter() - t0
+    elif args.eval_mode:
+        db = dict(trainer._device_batch(batch))
+        db.setdefault("_weight", jnp.ones((b,), jnp.float32))
+        for _ in range(3):   # compile + warm
+            loss, cm, out = trainer._jit_eval(trainer.state, db)
+        float(loss)
+        steps = args.steps
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            loss, cm, out = trainer._jit_eval(trainer.state, db)
+        float(loss)
+        dt = time.perf_counter() - t0
+        metric += " [eval]"
     else:
         db = trainer._device_batch(batch)
         state, loss, cm = trainer._jit_train(trainer.state, db)
@@ -254,7 +273,7 @@ def main():
     per_chip = samples_per_sec / max(n_chips, 1)
     vs = (round(per_chip / BASELINE_SAMPLES_PER_SEC, 3)
           if args.workload in BASELINED_WORKLOADS and not args.with_input
-          else None)
+          and not args.eval_mode else None)
     print(json.dumps({
         "metric": metric,
         "value": round(per_chip, 2),

@@ -29,16 +29,41 @@ def checkpoint_name(model_name: str, num_encoders: int, dataset: str,
     return f"{model_name}_{num_encoders}_{dataset}_{run_id}_{epoch}"
 
 
-def save(path: str, tree) -> None:
+_CKPTR = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """Module singleton: orbax's StandardCheckpointer wraps an ASYNC
+    checkpointer whose background write must outlive the call, so async
+    saves need a long-lived instance."""
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save(path: str, tree, block: bool = True) -> None:
+    """block=False returns as soon as the device arrays are snapshotted and
+    writes to disk in the background (overlaps the next training epoch —
+    beyond the reference's synchronous torch.save). Call `wait_for_saves`
+    (or the next blocking save/restore) before reading the files."""
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait_for_saves() -> None:
+    """Barrier for outstanding async `save(..., block=False)` writes."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore(path: str, target=None):
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()   # don't read files mid-async-write
     if target is not None:
         return ckptr.restore(path, target=target)
     return ckptr.restore(path)

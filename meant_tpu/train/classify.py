@@ -277,7 +277,9 @@ class meant_trainer:
                     prev_f1 = val_f1_macro
             self.history.append(record)
 
-        self.save(final_epoch + 1)
+        # async save: the checkpoint writes to disk in the background while
+        # the test pass runs (the reference torch.save blocks, SURVEY §5.4)
+        self.save(final_epoch + 1, block=False)
         results = {"history": self.history}
         if self.test_model and self.test_loader is not None:
             print("Testing...")
@@ -297,6 +299,7 @@ class meant_trainer:
                     title=f"{self.model_name} {self.dataset}")
             except Exception as e:
                 print(f"confusion-matrix plot skipped: {e}")
+        ckpt.wait_for_saves()   # checkpoint files complete before returning
         return results
 
     def evaluate(self, loader, set_name: str):
@@ -326,11 +329,13 @@ class meant_trainer:
         return f1_macro, f1_micro, metrics.compute()
 
     # ---- persistence ------------------------------------------------------
-    def save(self, epoch: int):
+    def save(self, epoch: int, block: bool = True):
         """Model params under /models/ (reference `in_loop_train.py:331`) and
         optimizer state under /optimizers/ (`pretrain_mlm.py:228-230` — the
         reference saves optimizer/scheduler state_dicts separately; the optax
-        state subsumes both since the schedule is step-indexed)."""
+        state subsumes both since the schedule is step-indexed).
+        block=False writes in the background (ckpt.wait_for_saves is the
+        barrier); train() uses it to overlap the write with the test pass."""
         name = ckpt.checkpoint_name(self.model_name, self.num_encoders,
                                     self.dataset, self.run_id, epoch)
         path = os.path.join(self.file_path, "models", self.model_name, name)
@@ -338,9 +343,12 @@ class meant_trainer:
                                 self.model_name, name)
         try:
             ckpt.save(path, {"params": self.state.params,
-                             "step": int(self.state.step)})
+                             "step": int(self.state.step)}, block=False)
             ckpt.save(opt_path, {"opt_state": self.state.opt_state,
-                                 "step": int(self.state.step)})
+                                 "step": int(self.state.step)},
+                      block=block)
+            if block:
+                ckpt.wait_for_saves()
         except Exception as e:  # mirrors reference's save-failure tolerance
             print(f"Your filepath is invalid. Save has failed: {e}")
 
