@@ -26,7 +26,11 @@ class Predictor:
 
     def __init__(self, model, model_name: str, params=None,
                  checkpoint_path: Optional[str] = None, batch_size: int = 32,
-                 mesh=None):
+                 mesh=None, tensor_parallel: bool = False):
+        """tensor_parallel=True applies the megatron TP sharding rules to
+        the restored params over the mesh's 'model' axis (serve a model
+        bigger than one chip's HBM); the mesh must carry a 'model' axis
+        (e.g. make_mesh(axes=("data", "model"), shape=(1, n)))."""
         if params is None:
             if checkpoint_path is None:
                 raise ValueError("need params or checkpoint_path")
@@ -35,7 +39,11 @@ class Predictor:
         self.model_name = model_name
         self.batch_size = batch_size
         self.mesh = mesh or make_mesh()
-        self.params = jax.device_put(params, replicated(self.mesh))
+        if tensor_parallel:
+            from meant_tpu.parallel import shard_params
+            self.params = shard_params(params, self.mesh)
+        else:
+            self.params = jax.device_put(params, replicated(self.mesh))
 
         def forward(p, batch):
             args, kwargs = model_inputs(model_name, batch)

@@ -65,3 +65,33 @@ def test_serve_cli_checkpoint_round_trip(tmp_path):
         "--num_heads", "4", "--serve_batch", "8"])
     assert probs.shape == (16, 2)
     assert np.isfinite(probs).all()
+
+
+def test_predictor_tensor_parallel_matches_replicated():
+    """TP-sharded serving: megatron-sharded params over the mesh's 'model'
+    axis produce the same probabilities as replicated serving (serve a
+    model bigger than one chip's HBM)."""
+    import jax.numpy as jnp
+
+    from meant_tpu.parallel import make_mesh
+
+    model = meant_tweet(text_dim=32, price_dim=4, lag=5, num_classes=2,
+                        embedding=TINY_EMB, num_heads=4, num_encoders=1)
+    rng = np.random.RandomState(1)
+    tweets = rng.randint(2, 64, size=(8, 5, 12)).astype(np.int32)
+    mask = np.ones((8, 5, 12), np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(tweets),
+                        jnp.asarray(mask))["params"]
+
+    rep = Predictor(model, "meant_tweet", params=params, batch_size=8)
+    n = len(jax.devices())
+    mesh = make_mesh(axes=("data", "model"), shape=(1, n))
+    tp = Predictor(model, "meant_tweet", params=params, batch_size=8,
+                   mesh=mesh, tensor_parallel=True)
+    # something actually sharded over 'model'
+    flat = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(lambda a: a.sharding, tp.params))[0]
+    assert any("model" in str(sh.spec) for _, sh in flat)
+
+    batch = {"tweets": tweets, "attention_masks": mask}
+    np.testing.assert_allclose(tp(batch), rep(batch), rtol=1e-5, atol=1e-6)
