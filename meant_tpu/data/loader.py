@@ -65,10 +65,18 @@ class Prefetcher:
     replacing the reference's synchronous per-batch `.cuda()` copies
     (`in_loop_train.py:217`, SURVEY.md §3.1)."""
 
-    def __init__(self, loader, device_put, depth: int = 2):
+    def __init__(self, loader, device_put, depth: int = 2,
+                 workers: int = 1):
+        """workers > 1 runs `device_put` (host collate + transfer staging)
+        on a thread pool — batch ORDER is preserved (futures are consumed
+        in submission order), only the host-side work overlaps. Use when
+        batch assembly is IO-bound (e.g. chart reads from a cold mmap);
+        CPU-bound numpy collate mostly holds the GIL, where 1 worker is
+        already optimal."""
         self.loader = loader
         self.device_put = device_put
         self.depth = depth
+        self.workers = max(int(workers), 1)
 
     def __len__(self):
         return len(self.loader)
@@ -80,12 +88,37 @@ class Prefetcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         END = object()
 
-        def worker():
-            try:
-                for batch in self.loader:
-                    q.put(self.device_put(batch))
-            finally:
-                q.put(END)
+        if self.workers == 1:
+            def worker():
+                try:
+                    for batch in self.loader:
+                        q.put(self.device_put(batch))
+                finally:
+                    q.put(END)
+        else:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            def worker():
+                try:
+                    with ThreadPoolExecutor(self.workers) as pool:
+                        # sliding window of in-order futures: parallel
+                        # assembly, ordered delivery, bounded look-ahead
+                        it = iter(self.loader)
+                        pending = deque()
+                        live = True
+                        while live or pending:
+                            while live and len(pending) < (self.workers
+                                                           + self.depth):
+                                try:
+                                    pending.append(pool.submit(
+                                        self.device_put, next(it)))
+                                except StopIteration:
+                                    live = False
+                            if pending:
+                                q.put(pending.popleft().result())
+                finally:
+                    q.put(END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

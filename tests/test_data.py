@@ -197,3 +197,27 @@ class TestBucketedLoader:
         loader = BucketedLoader(arrays, 4, buckets=(128, 512))
         total = sum(1 for _ in loader)
         assert total == len(loader)
+
+
+def test_prefetcher_workers_preserve_order_and_values():
+    """Multi-worker Prefetcher: parallel host assembly, ORDERED delivery,
+    identical batches to the single-worker path."""
+    import time as _time
+
+    from meant_tpu.data.loader import Prefetcher
+
+    class SlowLoader:
+        def __len__(self):
+            return 12
+
+        def __iter__(self):
+            for i in range(12):
+                yield {"i": np.full((4,), i, np.int32)}
+
+    def staged(b):
+        _time.sleep(0.02 * (b["i"][0] % 3))  # uneven per-batch latency
+        return {"i": b["i"] + 100}
+
+    seq1 = [b["i"][0] for b in Prefetcher(SlowLoader(), staged)]
+    seq4 = [b["i"][0] for b in Prefetcher(SlowLoader(), staged, workers=4)]
+    assert seq1 == seq4 == [100 + i for i in range(12)]
