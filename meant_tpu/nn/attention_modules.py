@@ -62,6 +62,7 @@ class XPosAttention(nn.Module):
     # overrides `flash`.
     ring_mesh: Optional[object] = None
     ring_axis: str = "data"
+    ring_flash: bool = False   # Pallas engine per ring chunk (long s_loc)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -92,8 +93,9 @@ class XPosAttention(nn.Module):
                 mask = jnp.ones((q.shape[0], k.shape[2]), jnp.float32)
             out = make_ring_attention(
                 self.ring_mesh, scale=scale, causal=self.causal,
-                axis=self.ring_axis)(q, k, v.astype(q.dtype),
-                                     mask.astype(jnp.float32))
+                axis=self.ring_axis,
+                use_flash=self.ring_flash)(q, k, v.astype(q.dtype),
+                                           mask.astype(jnp.float32))
         elif self.flash:
             from meant_tpu.ops.flash import flash_attention
             out = flash_attention(

@@ -50,6 +50,7 @@ class LanguageEncoder(nn.Module):
     rot_dim: Optional[int] = None  # xPos rotated width (48 default; MOSI 30)
     ring_mesh: Optional[object] = None  # sequence-parallel long-context mode
     ring_axis: str = "data"
+    ring_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -67,6 +68,7 @@ class LanguageEncoder(nn.Module):
                               init_style=self.init_style, flash=self.flash,
                               ring_mesh=self.ring_mesh,
                               ring_axis=self.ring_axis,
+                              ring_flash=self.ring_flash,
                               dtype=self.dtype, name="attn")(inter, mask)
         inter = make_norm(self.norm, d, "norm2")(inter)
         inter = nn.Dropout(self.dropout, name="drop1")(

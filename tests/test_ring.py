@@ -166,3 +166,31 @@ def test_ring_flash_grads_match_attend():
     for a, b in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_language_encoder_ring_flash_matches_dense():
+    """In-model sequence-parallel mode with the PALLAS ring engine
+    (LanguageEncoder(ring_mesh=..., ring_flash=True)) == dense encoder."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from meant_tpu.nn.encoders import LanguageEncoder
+
+    mesh = make_mesh()
+    d, h, s = 32, 4, 256
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, s, d).astype(np.float32) * 0.5)
+    mask = np.ones((2, s), np.float32)
+    mask[0, 200:] = 0
+
+    dense = LanguageEncoder(d, h)
+    params = dense.init(jax.random.PRNGKey(0), x, jnp.asarray(mask))
+    ref = dense.apply(params, x, jnp.asarray(mask))
+
+    ring_enc = LanguageEncoder(d, h, ring_mesh=mesh, ring_axis="data",
+                               ring_flash=True)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
+    ms = jax.device_put(jnp.asarray(mask),
+                        NamedSharding(mesh, P(None, "data")))
+    out = jax.jit(lambda p, x_, m_: ring_enc.apply(p, x_, m_))(
+        params, xs, ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
