@@ -81,8 +81,13 @@ def make_hybrid_mesh(ici_axes: Sequence[str] = ("model",),
     return Mesh(arr, (dcn_axis, *ici_axes))
 
 
-def batch_sharding(mesh: Mesh, batch_axis: str = "data") -> NamedSharding:
-    """Shard leading (batch) dim over the data axis."""
+def batch_sharding(mesh: Mesh, batch_axis: Optional[str] = None
+                   ) -> NamedSharding:
+    """Shard the leading (batch) dim over `batch_axis` — default the mesh's
+    LEADING axis ('data' on the standard mesh, 'dcn' on a hybrid one), so
+    trainers work unchanged on either layout."""
+    if batch_axis is None:
+        batch_axis = mesh.axis_names[0]
     return NamedSharding(mesh, P(batch_axis))
 
 
@@ -90,7 +95,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, batch_axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, batch_axis: Optional[str] = None):
     """Place every array in the (pytree) batch with its leading dim sharded."""
     sharding = batch_sharding(mesh, batch_axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -65,3 +65,41 @@ def test_hybrid_mesh_single_slice_fallback():
     mesh = make_hybrid_mesh(ici_axes=("model",), ici_shape=(8,),
                             num_slices=1)
     assert mesh.devices.shape == (1, 8)
+
+
+def test_trainer_runs_on_hybrid_mesh():
+    """meant_trainer consumes a hybrid (dcn, model) mesh unchanged: batches
+    shard over the leading dcn axis, TP-able params stay replicated (the
+    trainer replicates params; shard_params is the serving/TP path)."""
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.models import EmbeddingConfig, meant
+    from meant_tpu.train import meant_trainer
+
+    mesh = make_hybrid_mesh(ici_axes=("model",), ici_shape=(4,),
+                            num_slices=2)
+    rng = np.random.RandomState(0)
+    b, lag, s = 16, 2, 16
+    data = {
+        "tweets": rng.randint(2, 100, size=(b, lag, s)).astype(np.int32),
+        "graphs": rng.randn(b, lag, 4, 32, 32).astype(np.float32),
+        "attention_masks": np.ones((b, lag, s), np.float32),
+        "y": rng.randint(0, 2, size=(b,)).astype(np.int32),
+    }
+    model = meant(text_dim=32, image_dim=32, price_dim=4, height=32,
+                  width=32, patch_res=16, lag=lag, num_classes=2,
+                  embedding=EmbeddingConfig(vocab_size=100, hidden_size=32,
+                                            max_position_embeddings=40),
+                  num_heads=4, num_encoders=1, channels=4)
+    trainer = meant_trainer({
+        "model": model, "model_name": "meant", "dataset": "Tempstock",
+        "train_loader": ArrayLoader(data, b), "epochs": 1,
+        "num_classes": 2, "lag": lag, "mesh": mesh, "test_model": False,
+        "run_id": "hybrid", "lrst": "constant",
+    })
+    batch = next(iter(trainer.train_loader))
+    trainer._init_state(batch)
+    trainer._build_steps()
+    db = trainer._device_batch(batch)
+    assert "dcn" in str(db["tweets"].sharding.spec)
+    state, loss, cm = trainer._jit_train(trainer.state, db)
+    assert np.isfinite(float(loss))
