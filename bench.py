@@ -135,11 +135,13 @@ def main():
                          "path. vs_baseline omitted (the A100 number is a "
                          "training rate)")
     ap.add_argument("--fixed_proj", action="store_true",
-                    help="repaired lang/image projection (gelu before the "
-                         "seq-collapse Linear, DEFECTS #15) instead of the "
-                         "bug-faithful default; same matmul shapes, so "
-                         "throughput should match the default config while "
-                         "the loss actually decreases")
+                    help="repaired lang/image projection (LayerNorm(1) "
+                         "dropped, DEFECTS #15) instead of the bug-faithful "
+                         "default. Same matmul shapes; measured ~5% slower "
+                         "(51.2 vs 54.1) because the degenerate default's "
+                         "constant projection lets XLA dead-code some "
+                         "tower gradients — the repaired model pays for "
+                         "gradients that actually flow")
     args = ap.parse_args()
 
     from meant_tpu.data import ArrayLoader

@@ -394,9 +394,18 @@ def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
     # within a core (grids are loops, not parallel launches), which is what
     # makes the revisit-accumulate pattern sound; the streaming backward
     # below instead accumulates in VMEM scratch and never revisits.
+    n_qblocks = pl.cdiv(s_q, block_q)
+    # dk/dv accumulate across q blocks IN the output ref, so multi-block
+    # grids need fp32 outputs (bf16 += would lose low bits each revisit) and
+    # pay an out-of-kernel convert back to the input dtype. The auto whole-q
+    # regime (block_q == s_q, the flagship's s=512 path) has exactly one
+    # write — emit the input dtype directly and skip the fp32 HBM round-trip
+    # (~126 MB/array/layer at flagship geometry). In-block math stays fp32
+    # via preferred_element_type either way.
+    acc_dtype = k.dtype if n_qblocks == 1 else jnp.float32
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh, pl.cdiv(s_q, block_q)),
+        grid=(bh, n_qblocks),
         in_specs=[
             qtab(), qtab(),            # qcos, qsin
             ktab(), ktab(),            # kcos, ksin
@@ -405,8 +414,8 @@ def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
         ],
         out_specs=(per_q(), per_k(), per_k()),
         out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
-                   jax.ShapeDtypeStruct((bh, s_k, d), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, s_k, d), jnp.float32)),
+                   jax.ShapeDtypeStruct((bh, s_k, d), acc_dtype),
+                   jax.ShapeDtypeStruct((bh, s_k, d), acc_dtype)),
         interpret=interpret,
     )(qcos, qsin, kcos, ksin, kmask, q, k, v, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)

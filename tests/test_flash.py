@@ -110,6 +110,29 @@ class TestFlashKernel:
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
 
+    def test_bf16_wholeq_bwd_matches_multiblock(self):
+        # The whole-q resident backward (single q-block) writes dk/dv once,
+        # so it emits them in the input dtype directly; multi-block grids
+        # accumulate across q-block revisits in fp32 output refs. The two
+        # regimes must agree on bf16 inputs (same in-block fp32 math, the
+        # only difference is where the final bf16 rounding happens).
+        from meant_tpu.ops.flash.kernel import flash_mha
+        q, k, v = make_qkv(b=2, h=2, s=64, d=32, seed=21)
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        scale = 1.0 / np.sqrt(32)
+
+        def loss(q, k, v, bq):
+            o = flash_mha(q, k, v, scale=scale, causal=True, block_q=bq)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g_whole = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, 64)
+        g_multi = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, 16)
+        for a, b_ in zip(g_whole, g_multi):
+            assert a.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                rtol=2e-2, atol=2e-2)
+
 
 class TestOnlineSoftmaxKernel:
     """k-blocked streaming forward (online softmax) — exercised with small
