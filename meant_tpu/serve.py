@@ -26,11 +26,16 @@ class Predictor:
 
     def __init__(self, model, model_name: str, params=None,
                  checkpoint_path: Optional[str] = None, batch_size: int = 32,
-                 mesh=None, tensor_parallel: bool = False):
+                 mesh=None, tensor_parallel: bool = False,
+                 quantize: Optional[str] = None):
         """tensor_parallel=True applies the megatron TP sharding rules to
         the restored params over the mesh's 'model' axis (serve a model
         bigger than one chip's HBM); the mesh must carry a 'model' axis
-        (e.g. make_mesh(axes=("data", "model"), shape=(1, n)))."""
+        (e.g. make_mesh(axes=("data", "model"), shape=(1, n))).
+
+        quantize="int8" runs every wide Dense through the int8 MXU path
+        (dynamic activation / per-channel weight quant, nn/quant.py) —
+        measured 1.2-1.4x on the FF/projection matmuls on v5e."""
         if params is None:
             if checkpoint_path is None:
                 raise ValueError("need params or checkpoint_path")
@@ -45,8 +50,15 @@ class Predictor:
         else:
             self.params = jax.device_put(params, replicated(self.mesh))
 
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize mode {quantize!r}")
+
         def forward(p, batch):
             args, kwargs = model_inputs(model_name, batch)
+            if quantize == "int8":
+                from meant_tpu.nn.quant import quantized_apply
+                return quantized_apply(model, {"params": p}, *args,
+                                       **kwargs, deterministic=True)
             return model.apply({"params": p}, *args, **kwargs,
                                deterministic=True)
 

@@ -133,6 +133,10 @@ class meant_trainer:
         self.init_params = p.get("init_params")
 
         self.mesh = p.get("mesh") or make_mesh()
+        # FSDP/ZeRO-3: shard params + Adam moments over the batch axis
+        # (parallel/fsdp.py); default off — replication is the parity config
+        self.fsdp = p.get("fsdp", False)
+        self._state_sharding = None
         # gradient accumulation (`src/trainer.py:222-251`; the reference's
         # (counter+1) % steps skip-first-step off-by-one is NOT replicated)
         self.accumulation_steps = p.get("accumulation_steps", 1)
@@ -168,7 +172,12 @@ class meant_trainer:
             tx = optax.MultiSteps(tx, self.accumulation_steps)
         state = TrainState.create(apply_fn=self.model.apply, params=params,
                                   tx=tx)
-        self.state = jax.device_put(state, replicated(self.mesh))
+        if self.fsdp:
+            from meant_tpu.parallel import fsdp_shard
+            self.state, self._state_sharding = fsdp_shard(state, self.mesh)
+        else:
+            self._state_sharding = replicated(self.mesh)
+            self.state = jax.device_put(state, self._state_sharding)
 
     def _build_steps(self):
         model = self.model
@@ -212,8 +221,13 @@ class meant_trainer:
 
         data_shard = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
+        # with fsdp the updated state keeps its per-leaf shardings: XLA
+        # all-gathers params at use and reduce-scatters grads so the
+        # optimizer update runs shard-local (parallel/fsdp.py)
+        state_sh = self._state_sharding if self._state_sharding is not None \
+            else rep
         self._jit_train = jax.jit(train_step, donate_argnums=(0,),
-                                  out_shardings=(rep, rep, rep))
+                                  out_shardings=(state_sh, rep, rep))
         self._jit_eval = jax.jit(eval_step, out_shardings=(rep, rep, rep))
 
     def _device_batch(self, batch):

@@ -78,32 +78,56 @@ class TokenClassifier(nn.Module):
 class ner_trainer(_BasePretrainer):
     """Batches: input_ids (b, s), attention_mask (b, s), labels (b, s) with
     -100 on unlabeled positions. Loss/early-stop semantics shared with the
-    pretrainer base (val-loss patience)."""
+    pretrainer base (val-loss patience).
+
+    crf=True drives a `nn.crf.CRFTokenClassifier`: loss is the CRF NLL and
+    token_f1 decodes with constrained viterbi (pass `constraint_mask` from
+    `bio_constraint_mask`) — the repaired tweet7 --crf path (the reference
+    raises NotImplementedError, `src/hug/tweet7.py:391-392`)."""
     kind = "ner"
 
+    def __init__(self, p):
+        self.crf = p.get("crf", False)
+        self.constraint_mask = p.get("constraint_mask")
+        super().__init__(p)
+
     def _init_variables(self, rng, batch):
-        return self.model.init({"params": rng, "dropout": rng},
-                               jnp.asarray(batch["input_ids"]),
-                               jnp.asarray(batch["attention_mask"]))
+        args = [jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"])]
+        if self.crf:
+            args.append(jnp.asarray(batch["labels"]))
+        return self.model.init({"params": rng, "dropout": rng}, *args)
 
     def _apply(self, params, batch, deterministic, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
-        return self.model.apply({"params": params}, batch["input_ids"],
-                                batch["attention_mask"],
+        args = [batch["input_ids"], batch["attention_mask"]]
+        if self.crf:
+            args.append(batch["labels"])  # -> (logits, nll)
+        return self.model.apply({"params": params}, *args,
                                 deterministic=deterministic, rngs=rngs)
 
     def _loss(self, out, batch):
+        if self.crf:
+            return out[1]
         return mlm_loss(out, batch["labels"])
 
     def token_f1(self, loader, num_labels: int):
-        """Macro F1 over labeled (non--100) tokens."""
+        """Macro F1 over labeled (non--100) tokens; CRF models predict via
+        (constrained) viterbi decode instead of per-token argmax."""
         from meant_tpu.utils.metrics import metrics_from_confusion
         cm = np.zeros((num_labels, num_labels), np.int64)
         for batch in loader:
-            out = np.asarray(self._apply(self.state.params,
-                                         {k: jnp.asarray(v)
-                                          for k, v in batch.items()}, True))
-            preds = out.argmax(-1)
+            db = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.crf:
+                preds, _ = self.model.apply(
+                    {"params": self.state.params}, db["input_ids"],
+                    db["attention_mask"],
+                    constraint_mask=self.constraint_mask,
+                    method=type(self.model).decode)
+                preds = np.asarray(preds)
+            else:
+                preds = np.asarray(
+                    self._apply(self.state.params, db, True)).argmax(-1)
             labels = np.asarray(batch["labels"])
             valid = labels != -100
             for t, p in zip(labels[valid].ravel(), preds[valid].ravel()):

@@ -86,6 +86,19 @@ def test_tweet7_crf_not_implemented(tmp_path):
         tweet7.main(["-rid", "33", "-fp", str(tmp_path), "-crf", "1"])
 
 
+def test_tweet7_crf_repaired_smoke(tmp_path):
+    """--crf --impl_crf runs the working CRF head (nn/crf.py) end to end:
+    CRF NLL trains, viterbi-decoded macro F1 comes back."""
+    from meant_tpu.cli import tweet7
+    hist, metrics = tweet7.main([
+        "-rid", "34", "-ne", "1", "-nec", "1", "-tb", "8",
+        "-crf", "1", "--impl_crf", "1",
+        "-fp", str(tmp_path), "--synthetic_n", "24", "--seq_len", "16",
+        "--bf16", "false", "-lrst", "constant", "--text_dim", "32",
+        "--vocab_size", "128", "--num_heads", "4"])
+    assert len(hist) == 1 and "f1_macro" in metrics
+
+
 def test_hug_pretrain_mlm_smoke(tmp_path):
     from meant_tpu.cli import hug_pretrain_mlm
     hist = hug_pretrain_mlm.main([
