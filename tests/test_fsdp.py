@@ -121,3 +121,59 @@ def test_trainer_fsdp_matches_replicated():
 
     np.testing.assert_allclose(losses[False], losses[True], rtol=0,
                                atol=2e-6)
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path):
+    """save() on an FSDP-sharded state (orbax gathers the shards) and
+    resume() must restore params + optimizer state back onto the FSDP
+    shardings and keep training."""
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.models import EmbeddingConfig, meant
+    from meant_tpu.train import meant_trainer
+
+    rng = np.random.RandomState(0)
+    b, lag, s = 16, 2, 16
+    data = {
+        "tweets": rng.randint(2, 100, size=(b, lag, s)).astype(np.int32),
+        "graphs": rng.randn(b, lag, 4, 32, 32).astype(np.float32),
+        "attention_masks": np.ones((b, lag, s), np.float32),
+        "y": rng.randint(0, 2, size=(b,)).astype(np.int32),
+    }
+
+    def build_trainer():
+        model = meant(text_dim=64, image_dim=64, price_dim=4, height=32,
+                      width=32, patch_res=16, lag=lag, num_classes=2,
+                      embedding=EmbeddingConfig(vocab_size=100,
+                                                hidden_size=64,
+                                                max_position_embeddings=40),
+                      num_heads=4, num_encoders=1, channels=4)
+        return meant_trainer({
+            "model": model, "model_name": "meant", "dataset": "Tempstock",
+            "train_loader": ArrayLoader(data, b), "epochs": 1,
+            "num_classes": 2, "lag": lag, "test_model": False,
+            "run_id": "fsdpckpt", "lrst": "constant", "lr": 1e-3,
+            "fsdp": True, "seed": 0, "file_path": str(tmp_path),
+        })
+
+    tr = build_trainer()
+    batch = next(iter(tr.train_loader))
+    tr._init_state(batch)
+    tr._build_steps()
+    db = tr._device_batch(batch)
+    tr.state, l0, _ = tr._jit_train(tr.state, db)
+    step_saved = int(tr.state.step)
+    ref_param = np.asarray(jax.tree.leaves(tr.state.params)[0])
+    tr.save(epoch=0)
+
+    tr2 = build_trainer()
+    tr2.resume(0, batch)
+    tr2._build_steps()
+    assert int(tr2.state.step) == step_saved
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(tr2.state.params)[0]), ref_param)
+    # restored params landed on the FSDP shardings
+    flat = jax.tree.leaves(tr2.state.params)
+    assert any(any(sp is not None for sp in p.sharding.spec) for p in flat)
+    # and training continues
+    tr2.state, l1, _ = tr2._jit_train(tr2.state, tr2._device_batch(batch))
+    assert np.isfinite(float(l1))
