@@ -134,6 +134,9 @@ def main():
                          "instead of training — the serving/validation "
                          "path. vs_baseline omitted (the A100 number is a "
                          "training rate)")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --eval: run wide Dense layers on the int8 "
+                         "MXU (nn/quant.py). vs_baseline stays omitted")
     ap.add_argument("--fixed_proj", action="store_true",
                     help="repaired lang/image projection (LayerNorm(1) "
                          "dropped, DEFECTS #15) instead of the bug-faithful "
@@ -243,16 +246,26 @@ def main():
     elif args.eval_mode:
         db = dict(trainer._device_batch(batch))
         db.setdefault("_weight", jnp.ones((b,), jnp.float32))
-        for _ in range(3):   # compile + warm
-            loss, cm, out = trainer._jit_eval(trainer.state, db)
-        float(loss)
-        steps = args.steps
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            loss, cm, out = trainer._jit_eval(trainer.state, db)
-        float(loss)
-        dt = time.perf_counter() - t0
-        metric += " [eval]"
+        import contextlib
+        if args.int8:
+            # the interceptor rewrites the graph at TRACE time, so the
+            # compile calls run inside the context; the timed loop replays
+            # the already-compiled quantized executable (shapes are fixed)
+            from meant_tpu.nn.quant import int8_inference
+            ctx = int8_inference
+        else:
+            ctx = contextlib.nullcontext
+        with ctx():
+            for _ in range(3):   # compile + warm
+                loss, cm, out = trainer._jit_eval(trainer.state, db)
+            float(loss)
+            steps = args.steps
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                loss, cm, out = trainer._jit_eval(trainer.state, db)
+            float(loss)
+            dt = time.perf_counter() - t0
+        metric += " [eval+int8]" if args.int8 else " [eval]"
     else:
         db = trainer._device_batch(batch)
         state, loss, cm = trainer._jit_train(trainer.state, db)

@@ -30,6 +30,9 @@ def serve_parser():
     p.add_argument("--output", type=str, default=None,
                    help="write probabilities to this .npy")
     p.add_argument("--serve_batch", type=int, default=32)
+    p.add_argument("--int8", action="store_true",
+                   help="quantize wide Dense layers to int8 on the MXU "
+                        "(nn/quant.py; ~1.2-1.4x on FF/projection matmuls)")
     return p
 
 
@@ -101,7 +104,8 @@ def main(argv=None):
 
     predictor = Predictor(model, args.model_name, params=params,
                           checkpoint_path=args.checkpoint,
-                          batch_size=args.serve_batch)
+                          batch_size=args.serve_batch,
+                          quantize="int8" if args.int8 else None)
     probs = predictor(batch)
     print(f"served {len(probs)} rows -> probs shape {probs.shape}, "
           f"mean {float(probs.mean()):.4f}")

@@ -69,6 +69,10 @@ class _BasePretrainer:
         self.seed = p.get("seed", 0)
         self.mesh = p.get("mesh") or make_mesh()
         self.track = p.get("track", False)
+        # FSDP/ZeRO-3 params+moments sharding (parallel/fsdp.py), same
+        # semantics as meant_trainer(fsdp=True)
+        self.fsdp = p.get("fsdp", False)
+        self._state_sharding = None
         self._opt_kwargs = dict(
             optimizer=p.get("optimizer", "AdamW"),
             learning_rate=p.get("lr", 5e-5), decay=p.get("decay", 0.0),
@@ -103,7 +107,12 @@ class _BasePretrainer:
         tx = build_optimizer(params, **self._opt_kwargs)
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx)
-        self.state = jax.device_put(state, replicated(self.mesh))
+        if self.fsdp:
+            from meant_tpu.parallel import fsdp_shard
+            self.state, self._state_sharding = fsdp_shard(state, self.mesh)
+        else:
+            self._state_sharding = replicated(self.mesh)
+            self.state = jax.device_put(state, self._state_sharding)
 
     def _build_steps(self):
         seed = self.seed
@@ -123,8 +132,10 @@ class _BasePretrainer:
             return self._loss(out, batch)
 
         rep = replicated(self.mesh)
+        state_sh = self._state_sharding if self._state_sharding is not None \
+            else rep
         self._jit_train = jax.jit(train_step, donate_argnums=(0,),
-                                  out_shardings=(rep, rep))
+                                  out_shardings=(state_sh, rep))
         self._jit_eval = jax.jit(eval_step, out_shardings=rep)
 
     def train(self):

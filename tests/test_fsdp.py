@@ -177,3 +177,44 @@ def test_fsdp_checkpoint_roundtrip(tmp_path):
     # and training continues
     tr2.state, l1, _ = tr2._jit_train(tr2.state, tr2._device_batch(batch))
     assert np.isfinite(float(l1))
+
+
+def test_pretrainer_fsdp_matches_replicated():
+    """_BasePretrainer trainers (mlm/mim/ner/vqa) accept fsdp=True with the
+    same semantics as meant_trainer: equal losses, sharded state."""
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.train.ner import TokenClassifier, ner_trainer
+
+    rng = np.random.RandomState(0)
+    b, s = 16, 16
+    data = {
+        "input_ids": rng.randint(2, 100, size=(b, s)).astype(np.int32),
+        "attention_mask": np.ones((b, s), np.float32),
+        "labels": rng.randint(0, 3, size=(b, s)).astype(np.int32),
+    }
+    losses = {}
+    for fsdp in (False, True):
+        # hidden 128 -> the 128x512 FF kernels clear DEFAULT_MIN_SIZE
+        model = TokenClassifier(num_labels=3, vocab_size=100,
+                                hidden_size=128, num_layers=1, num_heads=4,
+                                dropout=0.0)
+        tr = ner_trainer({
+            "model": model, "train_data": ArrayLoader(data, b),
+            "epochs": 1, "lrst": "constant", "lr": 1e-3, "fsdp": fsdp,
+            "run_id": f"pfsdp{fsdp}",
+        })
+        batch = next(iter(tr.train_data))
+        tr._init_state(batch)
+        tr._build_steps()
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        run = []
+        for _ in range(3):
+            tr.state, loss = tr._jit_train(tr.state, db)
+            run.append(float(loss))
+        losses[fsdp] = run
+        if fsdp:
+            flat = jax.tree.leaves(tr.state.params)
+            assert any(any(sp is not None for sp in p.sharding.spec)
+                       for p in flat)
+    np.testing.assert_allclose(losses[False], losses[True], rtol=0,
+                               atol=2e-6)
