@@ -137,6 +137,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="with --eval: run wide Dense layers on the int8 "
                          "MXU (nn/quant.py). vs_baseline stays omitted")
+    ap.add_argument("--mu_bf16", action="store_true",
+                    help="store the first Adam moment in bf16 (halves its "
+                         "HBM footprint + optimizer-pass traffic; parity "
+                         "config keeps fp32 moments)")
     ap.add_argument("--fixed_proj", action="store_true",
                     help="repaired lang/image projection (LayerNorm(1) "
                          "dropped, DEFECTS #15) instead of the bug-faithful "
@@ -180,7 +184,10 @@ def main():
         "train_loader": loader, "epochs": 1,
         "num_classes": 2, "lag": 5, "mesh": mesh, "test_model": False,
         "run_id": "bench", "lrst": "constant", "lr": 1e-5,
+        "mu_dtype": jnp.bfloat16 if args.mu_bf16 else None,
     })
+    if args.mu_bf16:
+        metric += " [mu_bf16]"
     batch = next(iter(trainer.train_loader))
     trainer._init_state(batch)
     trainer._build_steps()

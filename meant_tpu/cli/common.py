@@ -95,6 +95,14 @@ def base_parser() -> argparse.ArgumentParser:
                    help="comma-separated length buckets for bucketed "
                         "training batches (e.g. 128,256,384,512) — the "
                         "static-shape equivalent of dynamic padding")
+    p.add_argument("--fsdp", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="FSDP/ZeRO-3: shard params + Adam moments over the "
+                        "data axis (parallel/fsdp.py)")
+    p.add_argument("--mu_bf16", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="store the first Adam moment in bf16 (halves its "
+                        "HBM footprint; fp32 is the parity config)")
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--text_dim", type=int, default=768)

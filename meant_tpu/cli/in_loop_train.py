@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import time
 
+import jax.numpy as jnp
+
 from meant_tpu.cli.common import base_parser, build_model
 from meant_tpu.data import (ArrayLoader, load_tempstock_small, split_arrays,
                             synthetic_tempstock)
@@ -74,6 +76,8 @@ def main(argv=None):
         "tmax": args.tmax, "early_stopping": args.early_stopping,
         "test_model": args.test_model, "track": args.track,
         "seed": args.seed, "mesh": make_mesh(),
+        "fsdp": args.fsdp,
+        "mu_dtype": jnp.bfloat16 if args.mu_bf16 else None,
     })
 
     if args.pretrained and args.pretrained_model:

@@ -148,6 +148,7 @@ class meant_trainer:
             lr_scheduler=p.get("lrst", p.get("lr_scheduler", "cosine_warm")),
             t0=p.get("t0", 7), tmax=p.get("tmax", 10),
             steps_per_epoch=max(len(self.train_loader), 1),
+            mu_dtype=p.get("mu_dtype"),
         )
         self.state: Optional[TrainState] = None
         self._jit_train = None

@@ -43,6 +43,9 @@ class text_classifier_trainer:
         self.loss_name = p.get("loss", "Binary Cross Entropy")
         self.seed = p.get("seed", 0)
         self.mesh = p.get("mesh") or make_mesh()
+        # FSDP/ZeRO-3 (parallel/fsdp.py), same semantics as meant_trainer
+        self.fsdp = p.get("fsdp", False)
+        self._state_sharding = None
         self._opt_kwargs = dict(
             optimizer=p.get("optimizer", "AdamW"),
             learning_rate=p.get("lr", 5e-5), decay=p.get("decay", 0.0),
@@ -63,10 +66,14 @@ class text_classifier_trainer:
         variables = self.model.init({"params": rng, "dropout": rng},
                                     jnp.asarray(batch["input_ids"]))
         tx = build_optimizer(variables["params"], **self._opt_kwargs)
-        self.state = jax.device_put(
-            train_state.TrainState.create(apply_fn=self.model.apply,
-                                          params=variables["params"], tx=tx),
-            replicated(self.mesh))
+        state = train_state.TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=tx)
+        if self.fsdp:
+            from meant_tpu.parallel import fsdp_shard
+            self.state, self._state_sharding = fsdp_shard(state, self.mesh)
+        else:
+            self._state_sharding = replicated(self.mesh)
+            self.state = jax.device_put(state, self._state_sharding)
 
         def train_step(state, batch):
             rng2 = jax.random.fold_in(jax.random.PRNGKey(self.seed),
@@ -87,7 +94,8 @@ class text_classifier_trainer:
 
         rep = replicated(self.mesh)
         self._jit_train = jax.jit(train_step, donate_argnums=(0,),
-                                  out_shardings=(rep, rep, rep))
+                                  out_shardings=(self._state_sharding,
+                                                 rep, rep))
 
     def train(self):
         first = next(iter(self.loader))

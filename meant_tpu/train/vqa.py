@@ -55,6 +55,9 @@ class vqa_trainer:
         self.test_model = p.get("test_model", True)
         self.seed = p.get("seed", 0)
         self.mesh = p.get("mesh") or make_mesh()
+        # FSDP/ZeRO-3 (parallel/fsdp.py), same semantics as meant_trainer
+        self.fsdp = p.get("fsdp", False)
+        self._state_sharding = None
         self._opt_kwargs = dict(
             optimizer=p.get("optimizer", "AdamW"),
             learning_rate=p.get("lr", 5e-5), decay=p.get("decay", 0.0),
@@ -83,7 +86,12 @@ class vqa_trainer:
         tx = build_optimizer(params, **self._opt_kwargs)
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx)
-        self.state = jax.device_put(state, replicated(self.mesh))
+        if self.fsdp:
+            from meant_tpu.parallel import fsdp_shard
+            self.state, self._state_sharding = fsdp_shard(state, self.mesh)
+        else:
+            self._state_sharding = replicated(self.mesh)
+            self.state = jax.device_put(state, self._state_sharding)
 
     def _build_steps(self):
         model = self.model
@@ -119,8 +127,10 @@ class vqa_trainer:
             return loss, cm
 
         rep = replicated(self.mesh)
+        state_sh = self._state_sharding if self._state_sharding is not None \
+            else rep
         self._jit_train = jax.jit(train_step, donate_argnums=(0,),
-                                  out_shardings=(rep, rep, rep))
+                                  out_shardings=(state_sh, rep, rep))
         self._jit_eval = jax.jit(eval_step, out_shardings=(rep, rep))
 
     def _device_batch(self, batch):

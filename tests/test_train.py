@@ -124,3 +124,45 @@ def test_resume_restores_optimizer_state(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(trainer2.state.params)[0]),
         np.asarray(jax.tree.leaves(trainer.state.params)[0]))
+
+
+def test_mu_dtype_bf16_moments(tmp_path):
+    """mu_dtype=bf16 stores the FIRST Adam moment in bf16 (half the HBM
+    footprint + optimizer-pass traffic); training tracks the fp32 run."""
+    data = synthetic_data(64)
+    losses = {}
+    for mu in (None, jnp.bfloat16):
+        model = meant_tweet(text_dim=32, price_dim=4, lag=LAG,
+                            num_classes=2, embedding=TINY_EMB, num_heads=4,
+                            num_encoders=1)
+        tr = meant_trainer({
+            "model": model, "model_name": "meant_tweet",
+            "dataset": "Stocknet",
+            "train_loader": ArrayLoader(data, B),
+            "epochs": 1, "num_classes": 2, "lag": LAG,
+            "file_path": str(tmp_path), "run_id": f"mu{mu}",
+            "optimizer": "AdamW", "lr": 1e-3, "lrst": "constant",
+            "test_model": False, "mesh": make_mesh(), "seed": 0,
+            "mu_dtype": mu,
+        })
+        batch = next(iter(tr.train_loader))
+        tr._init_state(batch)
+        tr._build_steps()
+        db = tr._device_batch(batch)
+        run = []
+        for _ in range(5):
+            tr.state, loss, _ = tr._jit_train(tr.state, db)
+            run.append(float(loss))
+        losses[mu] = run
+        dtypes = {leaf.dtype for leaf in jax.tree.leaves(tr.state.opt_state)
+                  if hasattr(leaf, "dtype") and
+                  jnp.issubdtype(leaf.dtype, jnp.floating)}
+        has_bf16 = any(d == jnp.bfloat16 for d in dtypes)
+        has_fp32 = any(d == jnp.float32 for d in dtypes)
+        if mu is None:
+            assert not has_bf16
+        else:
+            assert has_bf16 and has_fp32   # mu bf16, nu stays fp32
+    # bf16 mu quantization perturbs the trajectory slightly, not wildly
+    np.testing.assert_allclose(losses[None], losses[jnp.bfloat16],
+                               rtol=0.05, atol=0.01)
