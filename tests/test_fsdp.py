@@ -218,3 +218,47 @@ def test_pretrainer_fsdp_matches_replicated():
                        for p in flat)
     np.testing.assert_allclose(losses[False], losses[True], rtol=0,
                                atol=2e-6)
+
+
+def test_fsdp_composes_with_grad_accumulation():
+    """optax.MultiSteps wraps the opt state in param-shaped grad
+    accumulators; the shape-based FSDP rule shards them too, and the
+    accumulated update equals the replicated accumulated run."""
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.models import EmbeddingConfig, meant
+    from meant_tpu.train import meant_trainer
+
+    rng = np.random.RandomState(0)
+    b, lag, s = 16, 2, 16
+    data = {
+        "tweets": rng.randint(2, 100, size=(b, lag, s)).astype(np.int32),
+        "graphs": rng.randn(b, lag, 4, 32, 32).astype(np.float32),
+        "attention_masks": np.ones((b, lag, s), np.float32),
+        "y": rng.randint(0, 2, size=(b,)).astype(np.int32),
+    }
+    losses = {}
+    for fsdp in (False, True):
+        model = meant(text_dim=64, image_dim=64, price_dim=4, height=32,
+                      width=32, patch_res=16, lag=lag, num_classes=2,
+                      embedding=EmbeddingConfig(vocab_size=100,
+                                                hidden_size=64,
+                                                max_position_embeddings=40),
+                      num_heads=4, num_encoders=1, channels=4)
+        tr = meant_trainer({
+            "model": model, "model_name": "meant", "dataset": "Tempstock",
+            "train_loader": ArrayLoader(data, b), "epochs": 1,
+            "num_classes": 2, "lag": lag, "test_model": False,
+            "run_id": f"fsdpacc{fsdp}", "lrst": "constant", "lr": 1e-3,
+            "fsdp": fsdp, "seed": 0, "accumulation_steps": 2,
+        })
+        batch = next(iter(tr.train_loader))
+        tr._init_state(batch)
+        tr._build_steps()
+        db = tr._device_batch(batch)
+        run = []
+        for _ in range(4):   # 2 full accumulation cycles
+            tr.state, loss, _ = tr._jit_train(tr.state, db)
+            run.append(float(loss))
+        losses[fsdp] = run
+    np.testing.assert_allclose(losses[False], losses[True], rtol=0,
+                               atol=2e-6)

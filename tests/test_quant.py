@@ -125,3 +125,37 @@ def test_predictor_rejects_unknown_quantize():
                   num_heads=4, num_encoders=1, channels=4)
     with pytest.raises(ValueError):
         Predictor(model, "meant", params={}, quantize="fp4")
+
+
+def test_quantize_composes_with_tensor_parallel():
+    """int8 interceptor + megatron-sharded params: the quantize ops trace
+    over sharded kernels (XLA handles the sharded amax reduction); probs
+    match the replicated quantized run exactly."""
+    from meant_tpu.models import EmbeddingConfig, meant
+    from meant_tpu.parallel import make_mesh
+    from meant_tpu.serve import Predictor
+
+    rng = np.random.RandomState(0)
+    b, lag, s = 8, 2, 16
+    model = meant(text_dim=64, image_dim=64, price_dim=4, height=32,
+                  width=32, patch_res=16, lag=lag, num_classes=2,
+                  embedding=EmbeddingConfig(vocab_size=100, hidden_size=64,
+                                            max_position_embeddings=40,
+                                            dropout=0.0),
+                  num_heads=4, num_encoders=2, channels=4)
+    batch = {
+        "tweets": rng.randint(2, 100, size=(b, lag, s)).astype(np.int32),
+        "graphs": rng.randn(b, lag, 4, 32, 32).astype(np.float32),
+        "attention_masks": np.ones((b, lag, s), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["tweets"]),
+                        jnp.asarray(batch["graphs"]),
+                        jnp.asarray(batch["attention_masks"]))["params"]
+
+    mesh = make_mesh(axes=("data", "model"), shape=(1, 8))
+    p_rep = Predictor(model, "meant", params=params, batch_size=b,
+                      quantize="int8")
+    p_tp = Predictor(model, "meant", params=params, batch_size=b,
+                     mesh=mesh, tensor_parallel=True, quantize="int8")
+    np.testing.assert_allclose(p_tp(batch), p_rep(batch), atol=2e-5)
