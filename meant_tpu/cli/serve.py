@@ -33,6 +33,10 @@ def serve_parser():
     p.add_argument("--int8", action="store_true",
                    help="quantize wide Dense layers to int8 on the MXU "
                         "(nn/quant.py; ~1.2-1.4x on FF/projection matmuls)")
+    p.add_argument("--export", type=str, default=None,
+                   help="also write the jitted forward as a StableHLO "
+                        "artifact (jax.export) — servable without the "
+                        "python model code")
     return p
 
 
@@ -109,6 +113,13 @@ def main(argv=None):
     probs = predictor(batch)
     print(f"served {len(probs)} rows -> probs shape {probs.shape}, "
           f"mean {float(probs.mean()):.4f}")
+    if args.export:
+        from meant_tpu.serve import export_forward
+        chunk = {k: v[:args.serve_batch] for k, v in batch.items()}
+        export_forward(model, args.model_name, predictor.params, chunk,
+                       args.export,
+                       quantize="int8" if args.int8 else None)
+        print(f"wrote StableHLO artifact {args.export}")
     if args.output:
         np.save(args.output, probs)
         print(f"wrote {args.output}")

@@ -94,3 +94,50 @@ class Predictor:
             out = np.asarray(out)
             outs.append(out[: bs - pad] if pad else out)
         return np.concatenate(outs, axis=0)
+
+
+# ---- StableHLO export (deployable serving artifact) -----------------------
+# The reference has no deployment format at all (whole-model torch pickles,
+# which require the exact source tree to unpickle — SURVEY §5.4). The
+# TPU-native artifact is jax.export: the jitted forward serialized as
+# StableHLO bytes, loadable and runnable WITHOUT the python model code;
+# artifact + orbax checkpoint = the complete deployable. The artifact
+# records the lowering platform (export on TPU to serve on TPU).
+
+def export_forward(model, model_name: str, params, sample_batch,
+                   path: Optional[str] = None, quantize: Optional[str] = None):
+    """Serialize model.apply (optionally int8-quantized) as StableHLO.
+
+    sample_batch fixes the serving shapes (same fixed-shape contract as
+    Predictor). Returns the jax.export.Exported; writes `path` if given.
+    Call the artifact as `load_exported(path)(params, batch)`.
+    """
+    from jax import export as jax_export
+
+    def forward(p, batch):
+        args, kwargs = model_inputs(model_name, batch)
+        if quantize == "int8":
+            from meant_tpu.nn.quant import quantized_apply
+            return quantized_apply(model, {"params": p}, *args, **kwargs,
+                                   deterministic=True)
+        return model.apply({"params": p}, *args, **kwargs,
+                           deterministic=True)
+
+    spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        (params, {k: jnp.asarray(v) for k, v in sample_batch.items()}))
+    exp = jax_export.export(jax.jit(forward))(*spec)
+    if path:
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+    return exp
+
+
+def load_exported(path: str):
+    """Load a StableHLO artifact written by export_forward; returns
+    fn(params, batch) -> probs. No model code needed."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exp = jax_export.deserialize(f.read())
+    return jax.jit(exp.call)

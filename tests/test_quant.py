@@ -159,3 +159,39 @@ def test_quantize_composes_with_tensor_parallel():
     p_tp = Predictor(model, "meant", params=params, batch_size=b,
                      mesh=mesh, tensor_parallel=True, quantize="int8")
     np.testing.assert_allclose(p_tp(batch), p_rep(batch), atol=2e-5)
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """export_forward writes a StableHLO artifact that reproduces the live
+    forward (fp32 and int8) WITHOUT touching the python model afterwards."""
+    from meant_tpu.models import EmbeddingConfig, meant
+    from meant_tpu.serve import Predictor, export_forward, load_exported
+
+    rng = np.random.RandomState(0)
+    b, lag, s = 4, 2, 16
+    model = meant(text_dim=64, image_dim=64, price_dim=4, height=32,
+                  width=32, patch_res=16, lag=lag, num_classes=2,
+                  embedding=EmbeddingConfig(vocab_size=100, hidden_size=64,
+                                            max_position_embeddings=40,
+                                            dropout=0.0),
+                  num_heads=4, num_encoders=1, channels=4)
+    batch = {
+        "tweets": rng.randint(2, 100, size=(b, lag, s)).astype(np.int32),
+        "graphs": rng.randn(b, lag, 4, 32, 32).astype(np.float32),
+        "attention_masks": np.ones((b, lag, s), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["tweets"]),
+                        jnp.asarray(batch["graphs"]),
+                        jnp.asarray(batch["attention_masks"]))["params"]
+
+    for quant in (None, "int8"):
+        path = str(tmp_path / f"meant_{quant}.stablehlo")
+        export_forward(model, "meant", params, batch, path, quantize=quant)
+        fn = load_exported(path)
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        got = np.asarray(fn(params, db))
+        want = np.asarray(Predictor(model, "meant", params=params,
+                                    batch_size=b,
+                                    quantize=quant)(batch))
+        np.testing.assert_allclose(got, want, atol=1e-5)
