@@ -103,6 +103,12 @@ def base_parser() -> argparse.ArgumentParser:
                    default=False,
                    help="store the first Adam moment in bf16 (halves its "
                         "HBM footprint; fp32 is the parity config)")
+    p.add_argument("--logits_head", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="DEFECTS #23 repair: classifier emits logits "
+                        "instead of sigmoid outputs, lifting the "
+                        "sigmoid-CE saturation lr ceiling (meant / "
+                        "meant_src; parity default off)")
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--text_dim", type=int, default=768)
@@ -160,14 +166,16 @@ def build_model(args, emb_cfg=None):
     common = dict(num_heads=args.num_heads,
                   num_encoders=args.num_encoders, dtype=dtype)
     name = args.model_name
+    logits_head = bool(getattr(args, "logits_head", False))
     if name == "meant":
         return meant(td, imd, 4, size, size, 16, args.lag,
                      args.num_classes, embedding=emb, flash=args.flash,
-                     channels=4, **common)
+                     channels=4, logits_head=logits_head, **common)
     if name == "meant_src":
         return meant_src(td, imd, 5, size, size, 16, args.lag,
                          args.num_classes, embedding=emb, flash=args.flash,
-                         channels=3, seq_len=512, **common)
+                         channels=3, seq_len=512, logits_head=logits_head,
+                         **common)
     if name == "meant_vision":
         return meant_vision(imd, 4, size, size, 16, args.lag,
                             args.num_classes, flash=args.flash, channels=4,

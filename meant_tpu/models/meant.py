@@ -55,11 +55,18 @@ class MlpHead(nn.Module):
     CrossEntropyLoss (`in_loop_train.py:232`) — the head intentionally outputs
     probabilities-through-sigmoid, not logits, and the trainer replicates
     that loss convention.
+
+    logits=True is the DEFECTS #23 repair: skip the sigmoid so softmax-CE
+    sees unbounded logits — the sigmoid bounds logit gaps to 1 (loss floor
+    log(1+e^-1)) and SATURATES at lr >= 5e-4 (dead gradients, loss pinned
+    at ln 2). Same params, same trainer loss (log_softmax works on either).
+    Parity default stays sigmoid.
     """
     dim: int
     num_classes: int
     norm: str = "rms"
     init_style: str = "torch"
+    logits: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -67,7 +74,7 @@ class MlpHead(nn.Module):
         x = make_norm(self.norm, self.dim, "norm")(x)
         x = Linear(self.num_classes, self.dim, init_style=self.init_style,
                    dtype=self.dtype, name="proj")(x)
-        return jax.nn.sigmoid(x)
+        return x if self.logits else jax.nn.sigmoid(x)
 
 
 class meant(nn.Module):
@@ -93,6 +100,7 @@ class meant(nn.Module):
     # reference languageEncoder.encode2 uses nn.Dropout() == p=0.5
     # (`meant/meant.py:107`, DEFECTS #22); 0.0 disables it (fixed mode)
     ff_dropout: float = 0.5
+    logits_head: bool = False  # DEFECTS #23 repair: logits, not sigmoid
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -136,7 +144,8 @@ class meant(nn.Module):
         fused = TemporalEncoder(dim, self.num_heads, self.lag, style="paper",
                                 dtype=self.dtype,
                                 name="temporal_encoding_0")(fused)
-        out = MlpHead(dim, self.num_classes, norm="rms", dtype=self.dtype,
+        out = MlpHead(dim, self.num_classes, norm="rms",
+                      logits=self.logits_head, dtype=self.dtype,
                       name="mlpHead")(fused)
         return out.squeeze(axis=1)
 

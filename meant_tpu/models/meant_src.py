@@ -71,6 +71,7 @@ class meant_src(nn.Module):
     channels: int = 3
     seq_len: int = 512
     fixed_proj: bool = False
+    logits_head: bool = False  # DEFECTS #23 repair: logits, not sigmoid
     remat: bool = False   # rematerialize encoder blocks (long-seq memory)
     # per-branch flash override (None = follow `flash`): the Pallas kernel
     # wins for the 512-token text branch but loses to XLA attention at the
@@ -135,7 +136,8 @@ class meant_src(nn.Module):
         fused = TemporalEncoder(dim, self.num_heads, self.lag, style="src",
                                 dtype=self.dtype,
                                 name="temporal_encoding_0")(fused)
-        return MlpHead(dim, self.num_classes, norm="layer", dtype=self.dtype,
+        return MlpHead(dim, self.num_classes, norm="layer",
+                       logits=self.logits_head, dtype=self.dtype,
                        name="mlpHead")(fused)
 
 
