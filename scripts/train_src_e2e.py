@@ -44,6 +44,14 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-5)
     ap.add_argument("--out", default="/tmp/meant_e2e")
+    ap.add_argument("--logits_head", action="store_true",
+                    help="DEFECTS #23 repair (lifts the safe-lr ceiling)")
+    ap.add_argument("--mu_bf16", action="store_true",
+                    help="bf16 first Adam moment")
+    ap.add_argument("--int8_eval", action="store_true",
+                    help="after training, compare int8 vs fp32 serving "
+                         "accuracy on the test split (quantized-serving "
+                         "quality at TRAINED weights)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -62,6 +70,7 @@ def main():
                       embedding=EmbeddingConfig(), num_heads=8,
                       num_encoders=12, channels=3, seq_len=512, flash=True,
                       fixed_proj=True,   # repaired head so BOTH branches
+                      logits_head=args.logits_head,   # DEFECTS #23 repair
                       dtype=jnp.bfloat16)  # can transmit (DEFECTS #15)
 
     trainer = meant_trainer({
@@ -75,6 +84,7 @@ def main():
         "epochs": args.epochs, "num_classes": 2, "lag": 5,
         "file_path": args.out, "run_id": "e2e", "lrst": "constant",
         "lr": args.lr, "test_model": True, "mesh": make_mesh(),
+        "mu_dtype": jnp.bfloat16 if args.mu_bf16 else None,
     })
     t0 = time.time()
     results = trainer.train()
@@ -84,6 +94,23 @@ def main():
                     if isinstance(v, float)})
     ck = os.path.join(args.out, "models", "meant_src")
     print("checkpoint dir contents:", os.listdir(ck))
+
+    if args.int8_eval:
+        # quantized-serving quality at TRAINED weights: int8 and fp32
+        # predictions / F1 on the held-out test split
+        from meant_tpu.serve import Predictor
+        tb = {k: v for k, v in test.items() if k != "y"}
+        y = test["y"]
+        acc = {}
+        for quant in (None, "int8"):
+            pred = Predictor(model, "meant_src",
+                             params=trainer.state.params,
+                             batch_size=args.batch, quantize=quant)
+            probs = pred(tb)
+            pr = np.argmax(probs, -1)
+            acc[quant] = float((pr == y).mean())
+        print(f"serving accuracy on test: fp32 {acc[None]:.4f} "
+              f"vs int8 {acc['int8']:.4f}")
 
 
 if __name__ == "__main__":
