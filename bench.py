@@ -156,10 +156,19 @@ def main():
     from meant_tpu.train import meant_trainer
 
     loader = data = None
+    if (args.fixed_proj or args.remat) and args.workload in (
+            "paper128", "src_bucketed"):
+        # refuse rather than silently mislabel: these builders don't take
+        # fixed_proj/remat, and the emitted JSON is this repo's measurement
+        # record — it must never claim a config that didn't run.
+        raise SystemExit(f"--fixed_proj/--remat are not supported by the "
+                         f"{args.workload} workload")
     if args.workload == "paper128":
         model, name, data, b, metric = build_paper128()
     elif args.workload == "src256":
-        model, name, data, b, metric = build_src(256, batch=args.batch or 16)
+        model, name, data, b, metric = build_src(
+            256, batch=args.batch or 16, fixed_proj=args.fixed_proj,
+            remat=args.remat)
     elif args.workload == "src_bucketed":
         model, name, loader, b, metric = build_src_bucketed()
     elif args.workload == "src512_large":

@@ -62,12 +62,21 @@ def _load_cfg(args) -> dict:
 
 def build_from_config(args):
     """TokenClassifier geometry from configs/<model_name>.json — the
-    from_config path of `src/hug/in_loop_train.py:381-382`. CLI
-    --num_classes wins over the config's num_labels only when the config
-    has none (the reference overwrites model.classifier with
-    nn.Linear(..., args.num_classes) after from_config)."""
+    from_config path of `src/hug/in_loop_train.py:381-382`. The CLI's
+    --num_classes ALWAYS sizes the head: the reference overwrites
+    model.classifier with nn.Linear(..., args.num_classes) right after
+    from_config (`in_loop_train.py:384`), so the config's num_labels only
+    sizes the temporary head that gets replaced. We replicate that, but
+    warn loudly when the config disagrees — silently training a 9-logit
+    head on 15-label data corrupts loss/F1 with no crash."""
     cfg = _load_cfg(args)
     num_labels = args.num_classes or cfg.get("num_labels", 2)
+    cfg_labels = cfg.get("num_labels")
+    if cfg_labels is not None and cfg_labels != num_labels:
+        print(f"WARNING: config declares num_labels={cfg_labels} but the "
+              f"head is built with --num_classes={num_labels} (the "
+              f"reference's classifier overwrite, in_loop_train.py:384). "
+              f"Pass --num_classes {cfg_labels} to match the config.")
     model = TokenClassifier(
         num_labels=num_labels,
         vocab_size=cfg["vocab_size"],

@@ -78,7 +78,10 @@ def main(argv=None):
     if args.model_name not in SUPPORTED:
         raise ValueError("Pass a valid model name.")
 
-    if args.seed == 0:  # torch.manual_seed(42), `run_other_models.py:37`
+    # torch.manual_seed(42), `run_other_models.py:37` — pin 42 only when the
+    # flag was ABSENT; `--seed 0` is an explicit request and must stand
+    # (args.seed == 0 can't distinguish the two, so check argv)
+    if not any(a == "--seed" or a.startswith("--seed=") for a in argv):
         fwd += ["--seed", "42"]
     from meant_tpu.cli.in_loop_train import main as _main
     results = _main(fwd)

@@ -87,13 +87,19 @@ class Prefetcher:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         END = object()
+        ERR = object()
+        # staging failures (corrupt read, OOM during collate/transfer) must
+        # reach the consumer as the exception they are — a bare END here
+        # would silently truncate the epoch and train/score on partial data
 
         if self.workers == 1:
             def worker():
                 try:
                     for batch in self.loader:
                         q.put(self.device_put(batch))
-                finally:
+                except BaseException as e:
+                    q.put((ERR, e))
+                else:
                     q.put(END)
         else:
             from collections import deque
@@ -117,7 +123,9 @@ class Prefetcher:
                                     live = False
                             if pending:
                                 q.put(pending.popleft().result())
-                finally:
+                except BaseException as e:
+                    q.put((ERR, e))
+                else:
                     q.put(END)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -126,6 +134,9 @@ class Prefetcher:
             item = q.get()
             if item is END:
                 break
+            if type(item) is tuple and len(item) == 2 and item[0] is ERR:
+                t.join()
+                raise item[1]
             yield item
         t.join()
 

@@ -72,8 +72,20 @@ def make_hybrid_mesh(ici_axes: Sequence[str] = ("model",),
                                       [len(devices) // num_slices]
                                       + [1] * (len(ici_axes) - 1)))
             return Mesh(arr, (dcn_axis, *ici_axes))
-        except Exception:
-            pass  # fall through to the flat factoring below
+        except ImportError as e:
+            # old jax without mesh_utils: fall back to flat factoring, but
+            # LOUDLY — on a real multi-slice fleet the flat reshape can put
+            # an ici axis across slices, silently moving per-layer TP
+            # collectives onto DCN (the exact regression this function
+            # exists to prevent).
+            import warnings
+            warnings.warn(
+                f"create_hybrid_device_mesh unavailable ({e}); falling back "
+                f"to flat device factoring — ici axes are NOT guaranteed to "
+                f"stay inside a slice", RuntimeWarning)
+        # any other failure (ici_shape vs per-slice device count mismatch,
+        # num_slices disagreeing with detected slice topology) is a config
+        # error: raise, don't silently mis-lay the mesh.
     per_slice = len(devices) // max(num_slices, 1)
     shape = [num_slices] + list(
         ici_shape or [per_slice] + [1] * (len(ici_axes) - 1))

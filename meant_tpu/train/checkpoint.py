@@ -29,41 +29,48 @@ def checkpoint_name(model_name: str, num_encoders: int, dataset: str,
     return f"{model_name}_{num_encoders}_{dataset}_{run_id}_{epoch}"
 
 
-_CKPTR = None
+_CKPTRS: Dict[str, ocp.StandardCheckpointer] = {}
 
 
-def _checkpointer() -> ocp.StandardCheckpointer:
-    """Module singleton: orbax's StandardCheckpointer wraps an ASYNC
-    checkpointer whose background write must outlive the call, so async
-    saves need a long-lived instance."""
-    global _CKPTR
-    if _CKPTR is None:
-        _CKPTR = ocp.StandardCheckpointer()
-    return _CKPTR
+def _checkpointer(lane: str = "default") -> ocp.StandardCheckpointer:
+    """Long-lived per-lane instances: orbax's StandardCheckpointer wraps an
+    ASYNC checkpointer whose background write must outlive the call, so
+    async saves need a long-lived instance. Lanes exist because
+    AsyncCheckpointer.save() BEGINS with wait_until_finished() on its own
+    previous save — two back-to-back saves through one instance serialize,
+    defeating the async overlap. Saves that should overlap each other (the
+    large params write and the small opt-state write) go through different
+    lanes."""
+    if lane not in _CKPTRS:
+        _CKPTRS[lane] = ocp.StandardCheckpointer()
+    return _CKPTRS[lane]
 
 
-def save(path: str, tree, block: bool = True) -> None:
+def save(path: str, tree, block: bool = True, lane: str = "default") -> None:
     """block=False returns as soon as the device arrays are snapshotted and
     writes to disk in the background (overlaps the next training epoch —
     beyond the reference's synchronous torch.save). Call `wait_for_saves`
-    (or the next blocking save/restore) before reading the files."""
+    (or the next blocking save/restore) before reading the files.
+    Concurrent async saves must use distinct `lane`s — same-lane saves
+    serialize against each other (see _checkpointer)."""
     path = os.path.abspath(path)
-    ckptr = _checkpointer()
+    ckptr = _checkpointer(lane)
     ckptr.save(path, tree, force=True)
     if block:
         ckptr.wait_until_finished()
 
 
 def wait_for_saves() -> None:
-    """Barrier for outstanding async `save(..., block=False)` writes."""
-    if _CKPTR is not None:
-        _CKPTR.wait_until_finished()
+    """Barrier for outstanding async `save(..., block=False)` writes on
+    every lane."""
+    for ckptr in _CKPTRS.values():
+        ckptr.wait_until_finished()
 
 
 def restore(path: str, target=None):
     path = os.path.abspath(path)
+    wait_for_saves()   # don't read files mid-async-write (any lane)
     ckptr = _checkpointer()
-    ckptr.wait_until_finished()   # don't read files mid-async-write
     if target is not None:
         return ckptr.restore(path, target=target)
     return ckptr.restore(path)

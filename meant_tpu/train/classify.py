@@ -357,11 +357,15 @@ class meant_trainer:
         opt_path = os.path.join(self.file_path, "optimizers",
                                 self.model_name, name)
         try:
+            # distinct lanes: a same-lane second save would block on the
+            # large params write (orbax serializes per instance), defeating
+            # the async overlap with the test pass
             ckpt.save(path, {"params": self.state.params,
-                             "step": int(self.state.step)}, block=False)
+                             "step": int(self.state.step)}, block=False,
+                      lane="params")
             ckpt.save(opt_path, {"opt_state": self.state.opt_state,
                                  "step": int(self.state.step)},
-                      block=block)
+                      block=block, lane="opt")
             if block:
                 ckpt.wait_for_saves()
         except Exception as e:  # mirrors reference's save-failure tolerance

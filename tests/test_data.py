@@ -221,3 +221,32 @@ def test_prefetcher_workers_preserve_order_and_values():
     seq1 = [b["i"][0] for b in Prefetcher(SlowLoader(), staged)]
     seq4 = [b["i"][0] for b in Prefetcher(SlowLoader(), staged, workers=4)]
     assert seq1 == seq4 == [100 + i for i in range(12)]
+
+
+def test_prefetcher_propagates_staging_errors():
+    """A failure during host staging/transfer must surface as the exception
+    it is, in BOTH worker modes — a silent early END would truncate the
+    epoch and let the trainer score/checkpoint on partial data."""
+    import pytest
+
+    from meant_tpu.data.loader import Prefetcher
+
+    class Loader:
+        def __len__(self):
+            return 6
+
+        def __iter__(self):
+            for i in range(6):
+                yield {"i": np.full((2,), i, np.int32)}
+
+    def staged(b):
+        if b["i"][0] == 3:
+            raise ValueError("corrupt chart read")
+        return b
+
+    for workers in (1, 4):
+        seen = []
+        with pytest.raises(ValueError, match="corrupt chart read"):
+            for b in Prefetcher(Loader(), staged, workers=workers):
+                seen.append(int(b["i"][0]))
+        assert seen == [0, 1, 2]  # ordered delivery up to the failure

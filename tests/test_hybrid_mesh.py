@@ -103,3 +103,53 @@ def test_trainer_runs_on_hybrid_mesh():
     assert "dcn" in str(db["tweets"].sharding.spec)
     state, loss, cm = trainer._jit_train(trainer.state, db)
     assert np.isfinite(float(loss))
+
+
+def test_multislice_config_errors_raise_not_silently_flatten(monkeypatch):
+    """On a (simulated) multi-slice fleet, a create_hybrid_device_mesh
+    failure that is NOT an ImportError is a config error (ici_shape vs
+    per-slice device count, num_slices vs topology) and must RAISE — a
+    silent flat-factoring fallback could place an ici axis across slices,
+    moving per-layer TP collectives onto DCN."""
+    import pytest
+    from jax.experimental import mesh_utils
+
+    class FakeDev:
+        def __init__(self, i):
+            self.id = i
+            self.slice_index = i // 4
+
+    def boom(**kw):
+        raise ValueError("ici_shape does not factor per-slice devices")
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", boom)
+    with pytest.raises(ValueError, match="does not factor"):
+        make_hybrid_mesh(ici_axes=("model",), ici_shape=(3,), num_slices=2,
+                         devices=[FakeDev(i) for i in range(8)])
+
+
+def test_multislice_importerror_falls_back_loudly(monkeypatch):
+    """Only a missing mesh_utils API degrades to flat factoring, and it
+    must warn: the fallback loses the slice-locality guarantee."""
+    import warnings
+
+    from jax.experimental import mesh_utils
+
+    class FakeDev:
+        def __init__(self, i):
+            self.id = i
+            self.slice_index = i // 4
+
+    def gone(**kw):
+        raise ImportError("no create_hybrid_device_mesh in this jax")
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", gone)
+    devs = [FakeDev(i) for i in range(8)]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        try:
+            make_hybrid_mesh(ici_axes=("model",), ici_shape=(4,),
+                             num_slices=2, devices=devs)
+        except TypeError:
+            pass  # Mesh() rejects fake devices — the fallback was reached
+    assert any("flat device factoring" in str(w.message) for w in rec)
