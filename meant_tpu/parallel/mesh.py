@@ -108,11 +108,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, batch_axis: Optional[str] = None):
-    """Place every array in the (pytree) batch with its leading dim sharded."""
+    """Place every array in the (pytree) batch with its leading dim sharded.
+
+    Single-process (one host, all devices addressable): a plain device_put
+    scatters the host array across the mesh. Multi-process (a real pod:
+    one process per host, each loader yielding only ITS rows of the global
+    batch): device_put with a global sharding is invalid — the per-host
+    arrays are assembled into one global jax.Array via
+    `jax.make_array_from_process_local_data`, which maps each process's
+    local rows onto its addressable devices (the standard multi-host input
+    recipe; every process must call it with the same global sharding).
+    Either way the jitted train step sees one identically-sharded global
+    batch, so trainers are agnostic to the launch topology."""
     sharding = batch_sharding(mesh, batch_axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate_tree(tree, mesh: Mesh):
+    """Replicate every leaf across the mesh. Multi-process: every host holds
+    the full array (replication's local portion IS the global value), so the
+    same make_array_from_process_local_data recipe as shard_batch applies."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

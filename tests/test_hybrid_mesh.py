@@ -153,3 +153,28 @@ def test_multislice_importerror_falls_back_loudly(monkeypatch):
         except TypeError:
             pass  # Mesh() rejects fake devices — the fallback was reached
     assert any("flat device factoring" in str(w.message) for w in rec)
+
+
+def test_shard_batch_multiprocess_path_matches_device_put(monkeypatch):
+    """On a multi-host pod each process holds only its rows of the global
+    batch, so shard_batch assembles a global jax.Array via
+    make_array_from_process_local_data instead of device_put. In this
+    single-process suite the addressable portion IS the whole batch, so the
+    two paths must produce identical, identically-sharded arrays — what the
+    test pins is that the multi-process branch is live and semantically
+    equal where the topologies coincide."""
+    from meant_tpu.parallel import make_mesh
+    from meant_tpu.parallel.mesh import shard_batch
+
+    mesh = make_mesh(("data",))
+    batch = {"tweets": np.arange(8 * 6, dtype=np.float32).reshape(8, 6),
+             "labels": np.arange(8, dtype=np.int32)}
+    put = shard_batch(batch, mesh)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assembled = shard_batch(batch, mesh)
+
+    for k in batch:
+        assert assembled[k].sharding == put[k].sharding
+        np.testing.assert_array_equal(np.asarray(assembled[k]),
+                                      np.asarray(put[k]))
