@@ -83,15 +83,18 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
     return model, "meant_src", data, b, metric
 
 
-def build_src_bucketed(batch: int = 16, n: int = 256):
+def build_src_bucketed(batch: int = 16, n: int = 256,
+                       fixed_proj: bool = False, remat: bool = False):
     """src model fed through the length-bucketed loader with a SIMULATED
     dynamic-length text distribution (uniform 64..512 content tokens) —
     comparable to the reference's dynamic per-batch padding, one jit
     compile per bucket length."""
     from meant_tpu.data.loader import BucketedLoader
 
-    model, name, data, b, _ = build_src(512, batch)
+    model, name, data, b, _ = build_src(512, batch, fixed_proj=fixed_proj,
+                                        remat=remat)
     rng = np.random.RandomState(7)
+    n = (n // b) * b   # keep rows == mask rows when b doesn't divide n
     data = {k: np.repeat(v, n // b, axis=0) for k, v in data.items()}
     lengths = rng.randint(64, 513, size=n)
     mask = np.zeros((n, 5, 512), np.float32)
@@ -156,13 +159,24 @@ def main():
     from meant_tpu.train import meant_trainer
 
     loader = data = None
-    if (args.fixed_proj or args.remat) and args.workload in (
-            "paper128", "src_bucketed"):
-        # refuse rather than silently mislabel: these builders don't take
-        # fixed_proj/remat, and the emitted JSON is this repo's measurement
-        # record — it must never claim a config that didn't run.
-        raise SystemExit(f"--fixed_proj/--remat are not supported by the "
-                         f"{args.workload} workload")
+    # Refuse rather than silently mislabel: the emitted JSON is this repo's
+    # measurement record — it must never claim a config that didn't run.
+    if (args.fixed_proj or args.remat or args.batch) \
+            and args.workload == "paper128":
+        raise SystemExit("--fixed_proj/--remat/--batch are not supported by "
+                         "the paper128 workload (paper-era model, fixed b=16)")
+    if args.eval_mode and (args.with_input or args.workload == "src_bucketed"):
+        raise SystemExit("--eval measures the device-resident eval step; it "
+                         "does not compose with --with-input or the "
+                         "src_bucketed workload")
+    if args.int8 and not args.eval_mode:
+        raise SystemExit("--int8 only applies to the eval path; pass --eval")
+    if args.uint8_charts and not args.with_input:
+        raise SystemExit("--uint8_charts only applies to the real input "
+                         "pipeline; pass --with-input")
+    if args.mu_bf16 and args.eval_mode:
+        raise SystemExit("--mu_bf16 changes optimizer-state dtype; the eval "
+                         "step runs no optimizer")
     if args.workload == "paper128":
         model, name, data, b, metric = build_paper128()
     elif args.workload == "src256":
@@ -170,7 +184,9 @@ def main():
             256, batch=args.batch or 16, fixed_proj=args.fixed_proj,
             remat=args.remat)
     elif args.workload == "src_bucketed":
-        model, name, loader, b, metric = build_src_bucketed()
+        model, name, loader, b, metric = build_src_bucketed(
+            batch=args.batch or 16, fixed_proj=args.fixed_proj,
+            remat=args.remat)
     elif args.workload == "src512_large":
         # the paper's Table-1 98.57% geometry (30+30 encoders,
         # `meant_tex.pdf`) on the src-era s=512 workload
@@ -215,21 +231,27 @@ def main():
                     (data["pixels"] - data["pixels"].min()) * 40, 0,
                     255).astype(np.uint8)
             # widen the single synthetic batch into an epoch of batches so
-            # the loop exercises sustained pipeline flow
-            reps = min(max(args.steps, 2), 8)
+            # the loop exercises sustained pipeline flow (epoch bounded at 8
+            # batches for host RAM; --steps beyond that cycles epochs below)
+            reps = min(max(args.steps + 1, 2), 8)
             data = {k: np.repeat(v, reps, axis=0) for k, v in data.items()}
             loader = ArrayLoader(data, b)
             trainer.train_loader = loader
-        pf = Prefetcher(loader, trainer._device_batch)
-        it = iter(pf)
+        it = iter(Prefetcher(loader, trainer._device_batch))
         db0 = next(it)
         trainer.state, loss, cm = trainer._jit_train(trainer.state, db0)
         float(loss)   # compile barrier
         steps = 0
         t0 = time.perf_counter()
-        for db in it:
-            trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
-            steps += 1
+        while steps < args.steps:
+            for db in it:
+                trainer.state, loss, cm = trainer._jit_train(trainer.state,
+                                                             db)
+                steps += 1
+                if steps >= args.steps:
+                    break
+            else:   # epoch exhausted below --steps: restart the pipeline
+                it = iter(Prefetcher(loader, trainer._device_batch))
         float(loss)
         dt = time.perf_counter() - t0
         metric += " [with-input%s]" % ("+u8" if args.uint8_charts else "")

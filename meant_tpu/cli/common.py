@@ -118,6 +118,21 @@ def base_parser() -> argparse.ArgumentParser:
     return p
 
 
+def split_train_val_test(data: dict):
+    """80/10/10 split of a dict-of-arrays dataset: val (early stopping),
+    test (final metric — held OUT of model selection; scoring the val slice
+    as "test" is optimistically biased by the early-stop choice), train.
+    On sets too small for three slices the val slice doubles as test."""
+    n = len(next(iter(data.values())))
+    n_val = max(n // 10, 1)
+    n_test = n_val if n > 2 * n_val else 0
+    val = {k: v[:n_val] for k, v in data.items()}
+    test = ({k: v[n_val:n_val + n_test] for k, v in data.items()}
+            if n_test else val)
+    train = {k: v[n_val + n_test:] for k, v in data.items()}
+    return train, val, test
+
+
 def load_config(name: str) -> dict:
     """Load a model hyperparameter JSON (equivalent of the reference's
     `src/hug/configs/*.json` loaded with local_files_only AutoConfig,

@@ -30,7 +30,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from meant_tpu.cli.common import base_parser, load_config
+from meant_tpu.cli.common import (base_parser, load_config,
+                                  split_train_val_test)
 from meant_tpu.cli.in_loop_genia import _encode_word_level, load_data
 from meant_tpu.data import ArrayLoader
 from meant_tpu.native import fnv1a_tokenize
@@ -137,9 +138,7 @@ def main(argv=None):
         model, cfg, num_labels = build_from_config(args)
         args.vocab_size = cfg["vocab_size"]  # FNV ids must fit the table
         data = load_data(args)
-        n_val = max(len(data["labels"]) // 10, 1)
-        train = {k: v[n_val:] for k, v in data.items()}
-        val = {k: v[:n_val] for k, v in data.items()}
+        train, val, test = split_train_val_test(data)
         params = None
         if args.pretrained:
             # local-cache-only HF import (no egress): falls back to scratch
@@ -150,8 +149,11 @@ def main(argv=None):
                 params = _local_hf_backbone(args, cfg)
                 print(f"grafted local HF cache weights for "
                       f"{args.model_name}")
-            except Exception as e:  # no cache in this sandbox
+            except FileNotFoundError as e:  # no cache in this sandbox
                 print(f"no local HF cache ({e}); training from scratch")
+            # any OTHER failure (corrupt .bin, geometry mismatch) means a
+            # cache EXISTS but can't be grafted — raise rather than silently
+            # fine-tune random weights the user believes are pretrained
         trainer = ner_trainer({
             "model": model, "model_name": args.model_name,
             "dataset": args.hugging_face_data or "local",
@@ -170,8 +172,8 @@ def main(argv=None):
         })
         hist = trainer.train()
         metrics = trainer.token_f1(
-            ArrayLoader(val, max(args.eval_batch_size,
-                                 args.train_batch_size)), num_labels)
+            ArrayLoader(test, max(args.eval_batch_size,
+                                  args.train_batch_size)), num_labels)
         print("Macro test f1:", metrics["f1_macro"])
         return hist, metrics
 

@@ -18,7 +18,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from meant_tpu.cli.common import base_parser
+from meant_tpu.cli.common import base_parser, split_train_val_test
 from meant_tpu.data import ArrayLoader
 from meant_tpu.native import fnv1a_tokenize
 from meant_tpu.parallel import make_mesh
@@ -86,9 +86,7 @@ def load_data(args):
 def main(argv=None):
     args = genia_parser().parse_args(argv)
     data = load_data(args)
-    n_val = max(len(data["labels"]) // 10, 1)
-    train = {k: v[n_val:] for k, v in data.items()}
-    val = {k: v[:n_val] for k, v in data.items()}
+    train, val, test = split_train_val_test(data)
     model = TokenClassifier(
         num_labels=args.num_classes, vocab_size=args.vocab_size,
         hidden_size=args.text_dim, num_layers=args.num_encoders,
@@ -110,7 +108,7 @@ def main(argv=None):
     })
     hist = trainer.train()
     metrics = trainer.token_f1(
-        ArrayLoader(val, max(args.eval_batch_size, args.train_batch_size)),
+        ArrayLoader(test, max(args.eval_batch_size, args.train_batch_size)),
         args.num_classes)
     print("Macro test f1:", metrics["f1_macro"])
     return hist, metrics

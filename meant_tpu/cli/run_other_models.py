@@ -51,6 +51,10 @@ def main(argv=None):
                         const=True, default=False,
                         help="report TRUE recall instead of the reference's "
                              "precision-for-recall copy bug (DEFECTS #27)")
+    # None sentinel distinguishes "flag absent" (pin the reference's 42)
+    # from any explicit value including 0 — and, unlike scanning argv for
+    # the literal spelling, survives argparse prefix abbreviation (--see 7)
+    parser.set_defaults(seed=None)
     args = parser.parse_args(argv)
 
     # strip the flag this harness owns before delegating to parsers that
@@ -79,10 +83,10 @@ def main(argv=None):
         raise ValueError("Pass a valid model name.")
 
     # torch.manual_seed(42), `run_other_models.py:37` — pin 42 only when the
-    # flag was ABSENT; `--seed 0` is an explicit request and must stand
-    # (args.seed == 0 can't distinguish the two, so check argv)
-    if not any(a == "--seed" or a.startswith("--seed=") for a in argv):
-        fwd += ["--seed", "42"]
+    # flag was ABSENT; any explicit value (including 0 or an abbreviated
+    # --see spelling) must stand. The delegate re-parses fwd, so forward the
+    # resolved value explicitly: last occurrence wins there.
+    fwd += ["--seed", "42" if args.seed is None else str(args.seed)]
     from meant_tpu.cli.in_loop_train import main as _main
     results = _main(fwd)
 

@@ -115,7 +115,14 @@ def main(argv=None):
           f"mean {float(probs.mean()):.4f}")
     if args.export:
         from meant_tpu.serve import export_forward
+        # the artifact's batch dim is FIXED at trace shape — pad short
+        # inputs up to the serve_batch contract (same first-row repeat as
+        # Predictor.__call__) so the export matches what serving will feed
         chunk = {k: v[:args.serve_batch] for k, v in batch.items()}
+        pad = args.serve_batch - len(next(iter(chunk.values())))
+        if pad > 0:
+            chunk = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)],
+                                       axis=0) for k, v in chunk.items()}
         export_forward(model, args.model_name, predictor.params, chunk,
                        args.export,
                        quantize="int8" if args.int8 else None)

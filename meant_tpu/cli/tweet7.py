@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from meant_tpu.cli.common import str2bool
+from meant_tpu.cli.common import split_train_val_test, str2bool
 from meant_tpu.cli.in_loop_genia import genia_parser, load_data
 from meant_tpu.data import ArrayLoader
 from meant_tpu.parallel import make_mesh
@@ -41,7 +41,10 @@ def tweet7_parser():
     p.add_argument("-lrwp", "--lr_warmup_step_ratio", type=float,
                    default=0.0,
                    help="Warmup ratio for our learning rate scheduler")
-    p.set_defaults(model_name="bert_ner", dataset="tweet7")
+    # tweetner7 has 15 BIO tags (configs/roberta_tweet.json id2label) — the
+    # genia_parser default of 9 (JNLPBA) would silently clamp tags 9-14 and
+    # disable the CRF's BIO constraint mask on this harness's own dataset
+    p.set_defaults(model_name="bert_ner", dataset="tweet7", num_classes=15)
     return p
 
 
@@ -51,9 +54,7 @@ def main(argv=None):
         # faithful to the reference (`tweet7.py:391-392`)
         raise NotImplementedError("Conditional random fields not implemented")
     data = load_data(args)
-    n_val = max(len(data["labels"]) // 10, 1)
-    train = {k: v[n_val:] for k, v in data.items()}
-    val = {k: v[:n_val] for k, v in data.items()}
+    train, val, test = split_train_val_test(data)
     steps_per_epoch = max(len(train["labels"]) // args.train_batch_size, 1)
     total_steps = steps_per_epoch * args.num_epochs
     crf = args.crf and args.impl_crf
@@ -70,8 +71,15 @@ def main(argv=None):
         # reference's scratchpad `src/hug/e.py:40-70` hardcodes)
         id2label = {int(k): v for k, v in
                     load_config("roberta_tweet")["id2label"].items()}
-        constraint = bio_constraint_mask(id2label) \
-            if args.num_classes == len(id2label) else None
+        if args.num_classes == len(id2label):
+            constraint = bio_constraint_mask(id2label)
+        else:
+            constraint = None
+            print(f"WARNING: --num_classes {args.num_classes} does not "
+                  f"match the tweetner7 tag set ({len(id2label)} BIO tags), "
+                  f"so the CRF runs WITHOUT the BIO transition constraint; "
+                  f"viterbi may emit invalid O -> I-X sequences. Pass "
+                  f"-nc {len(id2label)} for constrained decoding.")
     else:
         model = TokenClassifier(
             num_labels=args.num_classes, vocab_size=args.vocab_size,
@@ -97,7 +105,7 @@ def main(argv=None):
     })
     hist = trainer.train()
     metrics = trainer.token_f1(
-        ArrayLoader(val, max(args.eval_batch_size, args.train_batch_size)),
+        ArrayLoader(test, max(args.eval_batch_size, args.train_batch_size)),
         args.num_classes)
     print("Macro test f1:", metrics["f1_macro"])
     return hist, metrics

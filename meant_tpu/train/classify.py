@@ -314,7 +314,13 @@ class meant_trainer:
                     title=f"{self.model_name} {self.dataset}")
             except Exception as e:
                 print(f"confusion-matrix plot skipped: {e}")
-        ckpt.wait_for_saves()   # checkpoint files complete before returning
+        try:
+            ckpt.wait_for_saves()   # checkpoint files complete before return
+        except Exception as e:
+            # a background write failure (ENOSPC, bad nested dir) surfaces
+            # here — keep the reference's save-failure tolerance (`save`
+            # above) instead of discarding the history/test results
+            print(f"Your filepath is invalid. Save has failed: {e}")
         return results
 
     def evaluate(self, loader, set_name: str):
