@@ -71,6 +71,21 @@ def _rotate_half_lanes(x):
     return jnp.where(parity == 0, -left, right)
 
 
+def _zero_rows_beyond(x, block_start, limit):
+    """Zero rows of a (rows, d) block whose GLOBAL row index >= limit.
+
+    Defense for direct callers of the streaming kernels at non-block-
+    divisible sequence lengths (flash_mha always block-pads outside, so on
+    the public path these branches are compile-time dead): out-of-bounds
+    Pallas block reads have undefined content, and masking derived weights
+    alone is insufficient — `0 * NaN = NaN` escapes through every
+    contraction that touches the padded rows as CONTENT (p @ v, ds @ kr,
+    ds^T @ qr, p^T @ do). Zeroing the loaded block rows kills the garbage
+    at the source."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + block_start
+    return jnp.where(row < limit, x, 0)
+
+
 def _fwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
                 q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
                 block_q: int, use_mask: bool):
@@ -165,8 +180,13 @@ def _fwd_online_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
         p = jnp.where(jnp.isfinite(scores), p, 0.0)
         corr = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0]
+        if seq_k % block_k != 0:
+            # p = 0 on padded columns is not enough: 0 * undefined-V = NaN
+            # inside the dot — zero the padded V rows themselves
+            v = _zero_rows_beyond(v, kk * block_k, seq_k)
         acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-            p.astype(in_dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(in_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = m_new
 
@@ -446,6 +466,13 @@ def _bwd_dq_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
             .astype(in_dtype)
         kr = (k * kcos_ref[:] + _rotate_half_lanes(k) * ksin_ref[:]) \
             .astype(in_dtype)
+        v = v_ref[0]
+        if seq_k % block_k != 0:
+            # contain undefined K/V content at the source: padded kr rows
+            # would reach REAL dq rows via 0 * NaN in the ds @ kr
+            # contraction, and padded V rows poison dp the same way
+            kr = _zero_rows_beyond(kr, kk * block_k, seq_k)
+            v = _zero_rows_beyond(v, kk * block_k, seq_k)
         scores = jax.lax.dot_general(
             qr, kr, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -456,16 +483,17 @@ def _bwd_dq_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
                 + kk * block_k
             scores = jnp.where(col <= row, scores, -jnp.inf)
         if seq_k % block_k != 0:
-            # zero out block-padded key columns (undefined content)
+            # padded key columns must not enter the softmax reconstruction
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
                 + kk * block_k
             scores = jnp.where(col < seq_k, scores, -jnp.inf)
         if use_mask:
             scores = scores + (1.0 - kmask_ref[0]) * -1e9
         p = jnp.exp(scores - lse_ref[0])               # (block_q, block_k)
-        dp = jax.lax.dot_general(do_ref[0], v_ref[0],
+        dp = jax.lax.dot_general(do_ref[0], v,
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        # padded columns: p = 0, dp = 0 (V zeroed) => ds = 0 exactly
         ds = (p * (dp - delta_ref[0]) * scale).astype(in_dtype)
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             ds, kr, (((1,), (0,)), ((), ())),
@@ -529,20 +557,29 @@ def _bwd_dkdv_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
                 + kk * block_k
             scores = jnp.where(colk < seq_k, scores, -jnp.inf)
         p = jnp.exp(scores - lse_ref[0])               # (block_q, block_k)
+        do = do_ref[0]
+        delta = delta_ref[0]
         if seq_q % block_q != 0:
-            # block-padded q rows carry undefined lse/do — zero their
-            # contribution to the dK/dV accumulators
+            # block-padded q rows carry undefined lse/do/delta/q. Zeroing
+            # the derived p alone is insufficient — the undefined CONTENT
+            # still reaches real dK/dV rows through 0 * NaN in the
+            # p^T @ do and ds^T @ qr contractions; zero it at the source.
             row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) \
                 + j * block_q
             p = jnp.where(row < seq_q, p, 0.0)
+            do = _zero_rows_beyond(do, j * block_q, seq_q)
+            delta = _zero_rows_beyond(delta, j * block_q, seq_q)
+            qr = _zero_rows_beyond(qr, j * block_q, seq_q)
         p_lo = p.astype(in_dtype)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-            p_lo, do_ref[0], (((0,), (0,)), ((), ())),
+            p_lo, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do_ref[0], v_ref[0],
+        dp = jax.lax.dot_general(do, v_ref[0],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta_ref[0]) * scale).astype(in_dtype)
+        # padded q rows: p = 0, dp = 0 (do zeroed), delta = 0 => ds = 0
+        # exactly, so nothing undefined reaches the dk accumulation
+        ds = (p * (dp - delta) * scale).astype(in_dtype)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
             ds, qr, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

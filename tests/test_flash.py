@@ -301,6 +301,42 @@ class TestKernelRobustness:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_direct_streaming_bwd_non_divisible_sk(self):
+        # DIRECT _flash_fwd_online/_flash_bwd_online call at s_k % block_k
+        # != 0 — the scenario flash_mha's outside-the-kernel padding never
+        # produces, but the module docstring promises defensive in-kernel
+        # bounds masks for. Pins that padded-column garbage cannot reach
+        # real dq rows through the ds @ k contraction (dq streams k blocks,
+        # so an unmasked padded column contaminates every row it touches).
+        from meant_tpu.ops.flash import kernel as fk
+        rng = np.random.RandomState(33)
+        bh, s, d = 4, 320, 32    # 320 % 128 = 64
+        q, k, v, do = (jnp.asarray(
+            rng.randn(bh, s, d).astype(np.float32) * .5) for _ in range(4))
+        ident_c = jnp.ones((s, d), jnp.float32)
+        ident_s = jnp.zeros((s, d), jnp.float32)
+        common = dict(scale=1.0 / np.sqrt(d), causal=False, num_heads=2,
+                      block_q=128, block_k=128, interpret=True)
+
+        out, lse = fk._flash_fwd_online(q, k, v, None, ident_c, ident_s,
+                                        ident_c, ident_s, **common)
+        delta = jnp.sum(do * out, axis=-1, keepdims=True)
+        dq, dk, dv = fk._flash_bwd_online(
+            q, k, v, do, lse.reshape(bh, s, 1), delta, None, ident_c,
+            ident_s, ident_c, ident_s, **common)
+
+        def ref(q_, k_, v_):
+            p = jax.nn.softmax(
+                jnp.einsum("bqd,bkd->bqk", q_, k_) / np.sqrt(d), axis=-1)
+            return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v_) * do)
+
+        gr = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, c in zip(("dq", "dk", "dv"), (dq, dk, dv), gr):
+            a = np.asarray(a)
+            assert np.isfinite(a).all(), f"{name} not finite"
+            np.testing.assert_allclose(a, np.asarray(c), rtol=1e-3,
+                                       atol=1e-4, err_msg=name)
+
     def test_streaming_bwd_bf16(self):
         from meant_tpu.ops.flash.kernel import flash_mha
         rng = np.random.RandomState(31)
