@@ -301,41 +301,57 @@ class TestKernelRobustness:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=1e-4, atol=1e-5)
 
-    def test_direct_streaming_bwd_non_divisible_sk(self):
-        # DIRECT _flash_fwd_online/_flash_bwd_online call at s_k % block_k
+    @pytest.mark.parametrize("causal,dtype", [
+        (False, jnp.float32), (True, jnp.float32), (False, jnp.bfloat16)])
+    def test_direct_streaming_bwd_non_divisible_sk(self, causal, dtype):
+        # DIRECT _flash_fwd_online/_flash_bwd_online call at s % block
         # != 0 — the scenario flash_mha's outside-the-kernel padding never
         # produces, but the module docstring promises defensive in-kernel
-        # bounds masks for. Pins that padded-column garbage cannot reach
-        # real dq rows through the ds @ k contraction (dq streams k blocks,
-        # so an unmasked padded column contaminates every row it touches).
+        # containment for. Out-of-bounds block content is undefined
+        # (NaN-filled in interpret mode), and 0 * NaN = NaN escapes through
+        # every contraction touching padded rows as CONTENT (p @ v,
+        # ds @ kr, p^T @ do, ds^T @ qr) unless the kernels zero it at the
+        # source — masking p/ds alone regressed to all-NaN dq here.
         from meant_tpu.ops.flash import kernel as fk
         rng = np.random.RandomState(33)
         bh, s, d = 4, 320, 32    # 320 % 128 = 64
         q, k, v, do = (jnp.asarray(
-            rng.randn(bh, s, d).astype(np.float32) * .5) for _ in range(4))
+            rng.randn(bh, s, d).astype(np.float32) * .5).astype(dtype)
+            for _ in range(4))
         ident_c = jnp.ones((s, d), jnp.float32)
         ident_s = jnp.zeros((s, d), jnp.float32)
-        common = dict(scale=1.0 / np.sqrt(d), causal=False, num_heads=2,
+        common = dict(scale=1.0 / np.sqrt(d), causal=causal, num_heads=2,
                       block_q=128, block_k=128, interpret=True)
 
         out, lse = fk._flash_fwd_online(q, k, v, None, ident_c, ident_s,
                                         ident_c, ident_s, **common)
-        delta = jnp.sum(do * out, axis=-1, keepdims=True)
+        assert np.isfinite(np.asarray(out, np.float32)).all(), \
+            "forward out not finite"
+        delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1, keepdims=True)
         dq, dk, dv = fk._flash_bwd_online(
             q, k, v, do, lse.reshape(bh, s, 1), delta, None, ident_c,
             ident_s, ident_c, ident_s, **common)
 
         def ref(q_, k_, v_):
-            p = jax.nn.softmax(
-                jnp.einsum("bqd,bkd->bqk", q_, k_) / np.sqrt(d), axis=-1)
-            return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v_) * do)
+            sc = jnp.einsum("bqd,bkd->bqk", q_.astype(jnp.float32),
+                            k_.astype(jnp.float32)) / np.sqrt(d)
+            if causal:
+                i = np.arange(s)
+                sc = jnp.where(i[None, :, None] >= i[None, None, :],
+                               sc, -jnp.inf)
+            p = jax.nn.softmax(sc, axis=-1)
+            o = jnp.einsum("bqk,bkd->bqd", p, v_.astype(jnp.float32))
+            return jnp.sum(o * do.astype(jnp.float32))
 
         gr = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        tol = dict(rtol=1e-3, atol=1e-4) if dtype == jnp.float32 \
+            else dict(rtol=5e-2, atol=5e-2)
         for name, a, c in zip(("dq", "dk", "dv"), (dq, dk, dv), gr):
-            a = np.asarray(a)
+            a = np.asarray(a, np.float32)
             assert np.isfinite(a).all(), f"{name} not finite"
-            np.testing.assert_allclose(a, np.asarray(c), rtol=1e-3,
-                                       atol=1e-4, err_msg=name)
+            np.testing.assert_allclose(a, np.asarray(c), err_msg=name,
+                                       **tol)
 
     def test_streaming_bwd_bf16(self):
         from meant_tpu.ops.flash.kernel import flash_mha
