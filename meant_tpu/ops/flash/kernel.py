@@ -320,7 +320,8 @@ def _flash_fwd(q, k, v, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
 
 def _bwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
                 q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale: float, causal: bool, use_mask: bool, block_q: int):
+                scale: float, causal: bool, use_mask: bool, block_q: int,
+                seq_q: int):
     """Flash backward, q-blocked: grid (bh, q_blocks); recompute this
     q-block's P in VMEM, then
     dV += Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP - rowsum(P ∘ dP)) * scale;
@@ -338,6 +339,16 @@ def _bwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
 
     qr = (q * qc + _rotate_half_lanes(q) * qs_).astype(in_dtype)
     kr = (k * kc + _rotate_half_lanes(k) * ks_).astype(in_dtype)
+    do = do_ref[0]
+    if seq_q % block_q != 0:
+        # direct-caller defense (flash_mha always block-pads; K/V here are
+        # loaded at exact size so only the q axis can carry undefined
+        # padded rows): a NaN row of p would contaminate EVERY dv row
+        # through the p^T @ do contraction. With qr/do zeroed, the padded
+        # rows flow through as p = uniform · do = 0 => zero contribution
+        # to dv/dk, and their dq rows land in discarded output rows.
+        qr = _zero_rows_beyond(qr, j * block_q, seq_q)
+        do = _zero_rows_beyond(do, j * block_q, seq_q)
 
     scores = jax.lax.dot_general(
         qr, kr, (((1,), (1,)), ((), ())),
@@ -352,10 +363,10 @@ def _bwd_kernel(qcos_ref, qsin_ref, kcos_ref, ksin_ref, kmask_ref,
     p = jax.nn.softmax(scores, axis=-1)                 # fp32
 
     p_lo = p.astype(in_dtype)
-    dv = jax.lax.dot_general(p_lo, do_ref[0],
+    dv = jax.lax.dot_general(p_lo, do,
                              (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do_ref[0], v, (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = (p * (dp - delta) * scale).astype(in_dtype)    # (block_q, s_k)
@@ -399,7 +410,8 @@ def _flash_bwd(q, k, v, do, kmask, qcos, qsin, kcos, ksin, *, scale, causal,
         else:
             kmask_index = lambda i, j, h=num_heads: (i // h, 0, 0)
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                               use_mask=use_mask, block_q=block_q)
+                               use_mask=use_mask, block_q=block_q,
+                               seq_q=s_q)
     qtab = lambda: pl.BlockSpec((block_q, d), lambda i, j: (j, 0),
                                 memory_space=pltpu.VMEM)
     ktab = lambda: pl.BlockSpec((s_k, d), lambda i, j: (0, 0),

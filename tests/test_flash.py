@@ -353,6 +353,35 @@ class TestKernelRobustness:
             np.testing.assert_allclose(a, np.asarray(c), err_msg=name,
                                        **tol)
 
+    def test_direct_resident_bwd_non_divisible_sq(self):
+        # DIRECT _flash_bwd (resident, q-blocked) at s_q % block_q != 0:
+        # K/V load at exact size, but a padded q block row would poison
+        # every dv row through p^T @ do unless the kernel zeroes qr/do.
+        from meant_tpu.ops.flash import kernel as fk
+        rng = np.random.RandomState(34)
+        bh, s, d = 4, 192, 32    # 192 % 128 = 64
+        q, k, v, do = (jnp.asarray(
+            rng.randn(bh, s, d).astype(np.float32) * .5) for _ in range(4))
+        ident_c = jnp.ones((s, d), jnp.float32)
+        ident_s = jnp.zeros((s, d), jnp.float32)
+
+        dq, dk, dv = fk._flash_bwd(
+            q, k, v, do, None, ident_c, ident_s, ident_c, ident_s,
+            scale=1.0 / np.sqrt(d), causal=False, num_heads=2,
+            block_q=128, interpret=True)
+
+        def ref(q_, k_, v_):
+            p = jax.nn.softmax(
+                jnp.einsum("bqd,bkd->bqk", q_, k_) / np.sqrt(d), axis=-1)
+            return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v_) * do)
+
+        gr = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, c in zip(("dq", "dk", "dv"), (dq, dk, dv), gr):
+            a = np.asarray(a, np.float32)
+            assert np.isfinite(a).all(), f"{name} not finite"
+            np.testing.assert_allclose(a, np.asarray(c), rtol=1e-3,
+                                       atol=1e-4, err_msg=name)
+
     def test_streaming_bwd_bf16(self):
         from meant_tpu.ops.flash.kernel import flash_mha
         rng = np.random.RandomState(31)
