@@ -1,0 +1,110 @@
+"""Worker for the TRUE multi-process DP smoke test.
+
+Launched N times by `tests/test_multiprocess.py` (and usable standalone for
+manual pod rehearsal). Each process initializes jax.distributed against a
+shared coordinator, owns 4 virtual CPU devices of an 8-device global mesh,
+and feeds ONLY its rows of the global batch through
+`meant_tpu.parallel.shard_batch` — the `jax.process_count() > 1` branch
+that single-process tests can't reach (`parallel/mesh.py:110-128`). One
+AdamW step on a small MLP; process 0 writes loss + grad/param norms to
+--out for comparison against the single-process ground truth.
+
+On a real pod the launcher (SLURM in the reference's world —
+`/root/reference/src/run.sh`) provides process_id/coordinator; here the
+test passes them explicitly.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--num_processes", type=int, default=2)
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--local_devices", type=int, default=4)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.local_devices}")
+    # the persistent compile cache is keyed per platform but a cpu process
+    # under an axon-pinned env must not touch the axon cache dir
+    os.environ["MEANT_TPU_NO_COMPILE_CACHE"] = "1"
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+    assert jax.process_count() == args.num_processes
+    n_global = args.num_processes * args.local_devices
+    assert len(jax.devices()) == n_global, \
+        f"global devices {len(jax.devices())} != {n_global}"
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    from meant_tpu.parallel import make_mesh, replicate_tree, shard_batch
+
+    mesh = make_mesh(("data",))
+
+    # deterministic global problem — every process derives the SAME params
+    # and the SAME global batch, then keeps only its local rows
+    rng = np.random.RandomState(0)
+    B, D, H = 16, 12, 8
+    xs = rng.randn(B, D).astype(np.float32)
+    ys = (rng.randn(B) > 0).astype(np.int32)
+    params = {
+        "w1": jnp.asarray(rng.randn(D, H).astype(np.float32) * 0.3),
+        "b1": jnp.zeros((H,), jnp.float32),
+        "w2": jnp.asarray(rng.randn(H, 2).astype(np.float32) * 0.3),
+        "b2": jnp.zeros((2,), jnp.float32),
+    }
+    rows = B // args.num_processes
+    lo = args.process_id * rows
+    local = {"x": xs[lo:lo + rows], "y": ys[lo:lo + rows]}
+
+    opt = optax.adamw(1e-2)
+
+    def loss_fn(p, batch):
+        h = jnp.tanh(batch["x"] @ p["w1"] + p["b1"])
+        logits = h @ p["w2"] + p["b2"]
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, batch["y"][:, None],
+                                             axis=1))
+
+    @jax.jit
+    def step(p, ostate, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+        updates, ostate = opt.update(grads, ostate, p)
+        p = optax.apply_updates(p, updates)
+        gnorm = optax.global_norm(grads)
+        return p, ostate, loss, gnorm
+
+    with mesh:
+        gparams = replicate_tree(params, mesh)
+        gostate = replicate_tree(opt.init(params), mesh)
+        gbatch = shard_batch(local, mesh)      # process-local rows in,
+        assert gbatch["x"].shape[0] == B       # GLOBAL batch out
+        gparams, gostate, loss, gnorm = step(gparams, gostate, gbatch)
+        pnorm = optax.global_norm(gparams)
+
+    out = {"loss": float(loss), "gnorm": float(gnorm),
+           "pnorm": float(pnorm), "process_count": jax.process_count(),
+           "global_devices": len(jax.devices())}
+    print(f"[p{args.process_id}] {out}", flush=True)
+    if args.out and args.process_id == 0:
+        np.savez(args.out, **out)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
