@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--local_devices", type=int, default=4)
     ap.add_argument("--out", default="")
+    ap.add_argument("--trainer", action="store_true",
+                    help="drive the REAL meant_trainer train step instead "
+                         "of the minimal MLP")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -55,6 +58,11 @@ def main():
     from meant_tpu.parallel import make_mesh, replicate_tree, shard_batch
 
     mesh = make_mesh(("data",))
+
+    if args.trainer:
+        _trainer_mode(args, mesh)
+        jax.distributed.shutdown()
+        return
 
     # deterministic global problem — every process derives the SAME params
     # and the SAME global batch, then keeps only its local rows
@@ -104,6 +112,72 @@ def main():
     if args.out and args.process_id == 0:
         np.savez(args.out, **out)
     jax.distributed.shutdown()
+
+
+def make_trainer_problem(num_processes: int, process_id: int, mesh):
+    """The dryrun_multichip model at 2-encoder geometry; each process keeps
+    only its rows of the deterministic global batch. process_id=-1 (and
+    num_processes=1) returns the WHOLE batch — the single-process ground
+    truth uses the same builder so the two computations differ only in
+    launch topology."""
+    import numpy as np
+
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.models import EmbeddingConfig, meant
+    from meant_tpu.train import meant_trainer
+
+    emb = EmbeddingConfig(vocab_size=128, hidden_size=64,
+                          max_position_embeddings=40, dropout=0.0)
+    B, lag, s = 16, 5, 16
+    model = meant(text_dim=64, image_dim=64, price_dim=4, height=32,
+                  width=32, patch_res=16, lag=lag, num_classes=2,
+                  embedding=emb, num_heads=8, num_encoders=2)
+    rng = np.random.RandomState(0)
+    data = {
+        "tweets": rng.randint(2, 128, size=(B, lag, s)).astype(np.int32),
+        "graphs": rng.randn(B, lag, 4, 32, 32).astype(np.float32),
+        "attention_masks": np.ones((B, lag, s), np.float32),
+        "y": rng.randint(0, 2, size=(B,)).astype(np.int32),
+    }
+    rows = B // num_processes
+    lo = 0 if process_id < 0 else process_id * rows
+    local = {k: v[lo:lo + (B if process_id < 0 else rows)]
+             for k, v in data.items()}
+    trainer = meant_trainer({
+        "model": model, "model_name": "meant", "dataset": "Tempstock",
+        "train_loader": ArrayLoader(local, len(local["y"])),
+        "epochs": 1, "num_classes": 2, "lag": lag, "mesh": mesh,
+        "test_model": False, "run_id": "mp_smoke", "lrst": "constant",
+    })
+    return trainer, local
+
+
+def _trainer_mode(args, mesh):
+    """One REAL meant_trainer._jit_train step, multi-process: params init
+    deterministically per process (same seed), the process-local batch rows
+    assemble into the global sharded batch inside _device_batch
+    (`train/classify.py:234`), and the replicated loss is read locally."""
+    import jax
+    import numpy as np
+    import optax
+
+    trainer, local = make_trainer_problem(args.num_processes,
+                                          args.process_id, mesh)
+    batch = next(iter(trainer.train_loader))
+    trainer._init_state(batch)
+    trainer._build_steps()
+    db = trainer._device_batch(batch)
+    B_global = 16
+    assert db["y"].shape[0] == B_global, db["y"].shape
+    state, loss, cm = trainer._jit_train(trainer.state, db)
+    out = {"loss": float(loss),
+           "pnorm": float(optax.global_norm(state.params)),
+           "cm_sum": float(np.asarray(cm).sum()),
+           "process_count": jax.process_count(),
+           "global_devices": len(jax.devices())}
+    print(f"[p{args.process_id}] trainer {out}", flush=True)
+    if args.out and args.process_id == 0:
+        np.savez(args.out, **out)
 
 
 if __name__ == "__main__":

@@ -115,3 +115,60 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(float(got["loss"]), want_loss, rtol=1e-6)
     np.testing.assert_allclose(float(got["gnorm"]), want_gnorm, rtol=1e-5)
     np.testing.assert_allclose(float(got["pnorm"]), want_pnorm, rtol=1e-5)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
+def test_two_process_real_trainer_step_matches_single_process(tmp_path):
+    """The REAL meant_trainer: params init per-process from the same seed,
+    process-local batch rows assemble into the global batch inside
+    _device_batch, one _jit_train step — loss/updated-param-norm equal the
+    single-process run of the identical problem."""
+    port = _free_port()
+    out = tmp_path / "p0t.npz"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--process_id", str(i),
+             "--num_processes", "2", "--trainer",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--out", str(out) if i == 0 else ""],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process trainer workers timed out")
+        logs.append(o)
+    for i, (p, o) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{o[-3000:]}"
+
+    # single-process ground truth via the same problem builder
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from multiprocess_worker import make_trainer_problem
+    finally:
+        sys.path.pop(0)
+    import optax
+
+    from meant_tpu.parallel import make_mesh
+
+    trainer, _ = make_trainer_problem(1, -1, make_mesh(("data",)))
+    batch = next(iter(trainer.train_loader))
+    trainer._init_state(batch)
+    trainer._build_steps()
+    state, loss, _cm = trainer._jit_train(trainer.state,
+                                          trainer._device_batch(batch))
+    got = np.load(out)
+    assert int(got["process_count"]) == 2
+    np.testing.assert_allclose(float(got["loss"]), float(loss), rtol=1e-5)
+    np.testing.assert_allclose(float(got["pnorm"]),
+                               float(optax.global_norm(state.params)),
+                               rtol=1e-5)
