@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--trainer", action="store_true",
                     help="drive the REAL meant_trainer train step instead "
                          "of the minimal MLP")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="with --trainer: shard params + Adam moments over "
+                         "the data axis (ZeRO-3) across the two processes")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -114,7 +117,8 @@ def main():
     jax.distributed.shutdown()
 
 
-def make_trainer_problem(num_processes: int, process_id: int, mesh):
+def make_trainer_problem(num_processes: int, process_id: int, mesh,
+                         fsdp: bool = False):
     """The dryrun_multichip model at 2-encoder geometry; each process keeps
     only its rows of the deterministic global batch. process_id=-1 (and
     num_processes=1) returns the WHOLE batch — the single-process ground
@@ -148,6 +152,7 @@ def make_trainer_problem(num_processes: int, process_id: int, mesh):
         "train_loader": ArrayLoader(local, len(local["y"])),
         "epochs": 1, "num_classes": 2, "lag": lag, "mesh": mesh,
         "test_model": False, "run_id": "mp_smoke", "lrst": "constant",
+        "fsdp": fsdp,
     })
     return trainer, local
 
@@ -162,17 +167,28 @@ def _trainer_mode(args, mesh):
     import optax
 
     trainer, local = make_trainer_problem(args.num_processes,
-                                          args.process_id, mesh)
+                                          args.process_id, mesh,
+                                          fsdp=args.fsdp)
     batch = next(iter(trainer.train_loader))
     trainer._init_state(batch)
     trainer._build_steps()
     db = trainer._device_batch(batch)
     B_global = 16
     assert db["y"].shape[0] == B_global, db["y"].shape
+    n_sharded = 0
+    if args.fsdp:
+        # the big kernels must be PHYSICALLY sharded: their local shard on
+        # this process's devices is smaller than the global leaf
+        for leaf in jax.tree.leaves(trainer.state.params):
+            shards = leaf.addressable_shards
+            if shards and shards[0].data.shape != leaf.shape:
+                n_sharded += 1
+        assert n_sharded > 0, "fsdp=True but no leaf is physically sharded"
     state, loss, cm = trainer._jit_train(trainer.state, db)
     out = {"loss": float(loss),
            "pnorm": float(optax.global_norm(state.params)),
            "cm_sum": float(np.asarray(cm).sum()),
+           "n_sharded": n_sharded,
            "process_count": jax.process_count(),
            "global_devices": len(jax.devices())}
     print(f"[p{args.process_id}] trainer {out}", flush=True)

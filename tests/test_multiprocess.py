@@ -117,12 +117,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(float(got["pnorm"]), want_pnorm, rtol=1e-5)
 
 
-@pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
-def test_two_process_real_trainer_step_matches_single_process(tmp_path):
-    """The REAL meant_trainer: params init per-process from the same seed,
-    process-local batch rows assemble into the global batch inside
-    _device_batch, one _jit_train step — loss/updated-param-norm equal the
-    single-process run of the identical problem."""
+def _run_trainer_workers(tmp_path, extra, timeout=420):
     port = _free_port()
     out = tmp_path / "p0t.npz"
     env = dict(os.environ)
@@ -131,7 +126,7 @@ def test_two_process_real_trainer_step_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, "--process_id", str(i),
-             "--num_processes", "2", "--trainer",
+             "--num_processes", "2", "--trainer", *extra,
              "--coordinator", f"127.0.0.1:{port}",
              "--out", str(out) if i == 0 else ""],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -141,7 +136,7 @@ def test_two_process_real_trainer_step_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            o, _ = p.communicate(timeout=420)
+            o, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -149,8 +144,10 @@ def test_two_process_real_trainer_step_matches_single_process(tmp_path):
         logs.append(o)
     for i, (p, o) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"worker {i} failed:\n{o[-3000:]}"
+    return np.load(out)
 
-    # single-process ground truth via the same problem builder
+
+def _single_process_truth():
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     try:
         from multiprocess_worker import make_trainer_problem
@@ -166,9 +163,31 @@ def test_two_process_real_trainer_step_matches_single_process(tmp_path):
     trainer._build_steps()
     state, loss, _cm = trainer._jit_train(trainer.state,
                                           trainer._device_batch(batch))
-    got = np.load(out)
+    return float(loss), float(optax.global_norm(state.params))
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
+def test_two_process_real_trainer_step_matches_single_process(tmp_path):
+    """The REAL meant_trainer: params init per-process from the same seed,
+    process-local batch rows assemble into the global batch inside
+    _device_batch, one _jit_train step — loss/updated-param-norm equal the
+    single-process run of the identical problem."""
+    got = _run_trainer_workers(tmp_path, [])
     assert int(got["process_count"]) == 2
-    np.testing.assert_allclose(float(got["loss"]), float(loss), rtol=1e-5)
-    np.testing.assert_allclose(float(got["pnorm"]),
-                               float(optax.global_norm(state.params)),
-                               rtol=1e-5)
+    want_loss, want_pnorm = _single_process_truth()
+    np.testing.assert_allclose(float(got["loss"]), want_loss, rtol=1e-5)
+    np.testing.assert_allclose(float(got["pnorm"]), want_pnorm, rtol=1e-5)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
+def test_two_process_fsdp_trainer_step(tmp_path):
+    """FSDP/ZeRO-3 across PROCESS boundaries: params + Adam moments
+    physically sharded over the 8 devices of the 2-process mesh (the
+    worker asserts local shards are smaller than the global leaves), one
+    train step, loss == the replicated single-process run."""
+    got = _run_trainer_workers(tmp_path, ["--fsdp"])
+    assert int(got["process_count"]) == 2
+    assert int(got["n_sharded"]) > 0
+    want_loss, want_pnorm = _single_process_truth()
+    np.testing.assert_allclose(float(got["loss"]), want_loss, rtol=1e-5)
+    np.testing.assert_allclose(float(got["pnorm"]), want_pnorm, rtol=1e-5)
