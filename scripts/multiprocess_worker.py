@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--fsdp", action="store_true",
                     help="with --trainer: shard params + Adam moments over "
                          "the data axis (ZeRO-3) across the two processes")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="dp x tp on a (dcn, model) mesh: DP across the "
+                         "process boundary, megatron TP inside each "
+                         "process — the real pod layout")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -62,6 +66,10 @@ def main():
 
     mesh = make_mesh(("data",))
 
+    if args.hybrid:
+        _hybrid_mode(args)
+        jax.distributed.shutdown()
+        return
     if args.trainer:
         _trainer_mode(args, mesh)
         jax.distributed.shutdown()
@@ -155,6 +163,74 @@ def make_trainer_problem(num_processes: int, process_id: int, mesh,
         "fsdp": fsdp,
     })
     return trainer, local
+
+
+def hybrid_problem():
+    """Flagship-shaped LanguageEncoder + deterministic batch for the
+    dp(dcn) × tp(model) leg; both the workers and the single-process
+    ground truth build the identical problem from this."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from meant_tpu.nn.encoders import LanguageEncoder
+
+    d, h, s, B = 64, 4, 32, 8
+    enc = LanguageEncoder(d, h, ff_dropout=0.0, rot_dim=d // h // 2)
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, s, d).astype(np.float32) * 0.5
+    mask = np.ones((B, s), np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                      jnp.asarray(mask))["params"]
+
+    def loss(p, x_, m_):
+        return jnp.mean(enc.apply({"params": p}, x_, m_) ** 2)
+
+    return params, x, mask, loss, B
+
+
+def _hybrid_mode(args):
+    """dp × tp across the REAL process boundary: (dcn=2, model=4) mesh
+    whose dcn rows coincide with the two processes — megatron TP
+    collectives stay INSIDE a process (they'd ride ICI on a pod; crossing
+    DCN per layer is the regression make_hybrid_mesh exists to prevent),
+    the once-per-step gradient allreduce crosses it."""
+    import numpy as np
+    import optax
+
+    import jax
+
+    from meant_tpu.parallel import make_hybrid_mesh, shard_batch, \
+        shard_params
+
+    mesh = make_hybrid_mesh(ici_axes=("model",), ici_shape=(4,),
+                            num_slices=2)
+    # the claim on the box: each dcn row is one process
+    for i in range(2):
+        owners = {d.process_index for d in mesh.devices[i].flat}
+        assert owners == {i}, \
+            f"dcn row {i} spans processes {owners} — TP would cross DCN"
+
+    params, x, mask, loss, B = hybrid_problem()
+    rows = B // args.num_processes
+    lo = args.process_id * rows
+    sharded = shard_params(params, mesh)
+    n_tp = sum(1 for leaf in jax.tree.leaves(sharded)
+               if "model" in str(leaf.sharding.spec))
+    assert n_tp > 0, "no param sharded over the ici 'model' axis"
+    with mesh:
+        xb = shard_batch({"x": x[lo:lo + rows], "m": mask[lo:lo + rows]},
+                         mesh)
+    assert xb["x"].shape[0] == B
+    lval, grads = jax.jit(jax.value_and_grad(loss))(sharded, xb["x"],
+                                                    xb["m"])
+    out = {"loss": float(lval), "gnorm": float(optax.global_norm(grads)),
+           "n_tp": n_tp, "process_count": jax.process_count(),
+           "global_devices": len(jax.devices())}
+    print(f"[p{args.process_id}] hybrid {out}", flush=True)
+    if args.out and args.process_id == 0:
+        np.savez(args.out, **out)
 
 
 def _trainer_mode(args, mesh):

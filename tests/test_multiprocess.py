@@ -180,6 +180,60 @@ def test_two_process_real_trainer_step_matches_single_process(tmp_path):
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
+def test_two_process_hybrid_dp_tp(tmp_path):
+    """dp × tp with the DCN axis ON the process boundary: each of the
+    (dcn=2, model=4) mesh's rows is one process (the worker asserts it —
+    megatron TP collectives stay intra-process, as they must stay on ICI
+    on a pod), params megatron-sharded over 'model', batch over 'dcn';
+    loss + grad norm equal the single-process computation."""
+    port = _free_port()
+    out = tmp_path / "p0h.npz"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--process_id", str(i),
+             "--num_processes", "2", "--hybrid",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--out", str(out) if i == 0 else ""],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("hybrid workers timed out")
+        logs.append(o)
+    for i, (p, o) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{o[-3000:]}"
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from multiprocess_worker import hybrid_problem
+    finally:
+        sys.path.pop(0)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params, x, mask, loss, _B = hybrid_problem()
+    lval, grads = jax.value_and_grad(loss)(params, jnp.asarray(x),
+                                           jnp.asarray(mask))
+    got = np.load(out)
+    assert int(got["process_count"]) == 2
+    assert int(got["n_tp"]) > 0
+    np.testing.assert_allclose(float(got["loss"]), float(lval), rtol=1e-6)
+    np.testing.assert_allclose(float(got["gnorm"]),
+                               float(optax.global_norm(grads)), rtol=1e-5)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
 def test_two_process_fsdp_trainer_step(tmp_path):
     """FSDP/ZeRO-3 across PROCESS boundaries: params + Adam moments
     physically sharded over the 8 devices of the 2-process mesh (the
