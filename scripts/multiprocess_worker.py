@@ -38,6 +38,9 @@ def main():
                     help="dp x tp on a (dcn, model) mesh: DP across the "
                          "process boundary, megatron TP inside each "
                          "process — the real pod layout")
+    ap.add_argument("--ring", action="store_true",
+                    help="sequence-parallel LanguageEncoder: the ring's "
+                         "ppermute hops cross the process boundary")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -68,6 +71,10 @@ def main():
 
     if args.hybrid:
         _hybrid_mode(args)
+        jax.distributed.shutdown()
+        return
+    if args.ring:
+        _ring_mode(args, mesh)
         jax.distributed.shutdown()
         return
     if args.trainer:
@@ -229,6 +236,71 @@ def _hybrid_mode(args):
            "n_tp": n_tp, "process_count": jax.process_count(),
            "global_devices": len(jax.devices())}
     print(f"[p{args.process_id}] hybrid {out}", flush=True)
+    if args.out and args.process_id == 0:
+        np.savez(args.out, **out)
+
+
+def ring_problem():
+    """Sequence-parallel encoder problem shared by the workers and the
+    single-process ground truth: b=2, s=256 (32 rows per device on the
+    8-device mesh), a padding tail in the mask so the ring's kmask
+    rotation is exercised too."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from meant_tpu.nn.encoders import LanguageEncoder
+
+    d, h, s = 32, 4, 256
+    rng = np.random.RandomState(8)
+    x = (rng.randn(2, s, d).astype(np.float32) * 0.5)
+    mask = np.ones((2, s), np.float32)
+    mask[0, 200:] = 0
+    dense = LanguageEncoder(d, h)
+    params = dense.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(mask))
+
+    def loss_with(enc, p, x_, m_):
+        return jnp.mean(enc.apply(p, x_, m_) ** 2)
+
+    return dense, params, x, mask, loss_with, d, h, s
+
+
+def _ring_mode(args, mesh):
+    """Sequence parallelism across the REAL process boundary: activations
+    sequence-sharded over all 8 devices of the 2-process mesh, the in-model
+    ring attention's ppermute hops crossing between processes (DCN on a
+    pod — the layout long-context SP actually uses)."""
+    import numpy as np
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from meant_tpu.nn.encoders import LanguageEncoder
+
+    dense, params, x, mask, loss_with, d, h, s = ring_problem()
+    ring_enc = LanguageEncoder(d, h, ring_mesh=mesh, ring_axis="data")
+
+    # this process holds the MIDDLE slice of the sequence it owns: rows
+    # for its 4 of the 8 'data' shards
+    s_loc = s // args.num_processes
+    lo = args.process_id * s_loc
+    xs = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, "data", None)),
+        x[:, lo:lo + s_loc])
+    ms = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, "data")), mask[:, lo:lo + s_loc])
+    assert xs.shape == (2, s, d)
+
+    lval, grads = jax.jit(jax.value_and_grad(
+        lambda p, x_, m_: loss_with(ring_enc, p, x_, m_)))(params, xs, ms)
+    out = {"loss": float(lval), "gnorm": float(optax.global_norm(grads)),
+           "process_count": jax.process_count(),
+           "global_devices": len(jax.devices())}
+    print(f"[p{args.process_id}] ring {out}", flush=True)
     if args.out and args.process_id == 0:
         np.savez(args.out, **out)
 

@@ -234,6 +234,59 @@ def test_two_process_hybrid_dp_tp(tmp_path):
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
+def test_two_process_ring_sequence_parallel(tmp_path):
+    """Sequence-parallel LanguageEncoder with the ring's ppermute hops
+    crossing the REAL process boundary (DCN on a pod): activations
+    sequence-sharded over the 8 devices of the 2-process mesh, loss +
+    param-grad norm equal the dense single-process encoder."""
+    port = _free_port()
+    out = tmp_path / "p0r.npz"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--process_id", str(i),
+             "--num_processes", "2", "--ring",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--out", str(out) if i == 0 else ""],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("ring workers timed out")
+        logs.append(o)
+    for i, (p, o) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{o[-3000:]}"
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from multiprocess_worker import ring_problem
+    finally:
+        sys.path.pop(0)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    dense, params, x, mask, loss_with, *_ = ring_problem()
+    lval, grads = jax.value_and_grad(
+        lambda p: loss_with(dense, p, jnp.asarray(x), jnp.asarray(mask)))(
+            params)
+    got = np.load(out)
+    assert int(got["process_count"]) == 2
+    np.testing.assert_allclose(float(got["loss"]), float(lval), rtol=1e-5)
+    np.testing.assert_allclose(float(got["gnorm"]),
+                               float(optax.global_norm(grads)), rtol=1e-4)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
 def test_two_process_fsdp_trainer_step(tmp_path):
     """FSDP/ZeRO-3 across PROCESS boundaries: params + Adam moments
     physically sharded over the 8 devices of the 2-process mesh (the
