@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--ring", action="store_true",
                     help="sequence-parallel LanguageEncoder: the ring's "
                          "ppermute hops cross the process boundary")
+    ap.add_argument("--ckpt_dir", default="",
+                    help="with --trainer: orbax save + restore the (FSDP-"
+                         "sharded) state through this shared directory and "
+                         "assert the round-trip is exact")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -333,10 +337,32 @@ def _trainer_mode(args, mesh):
                 n_sharded += 1
         assert n_sharded > 0, "fsdp=True but no leaf is physically sharded"
     state, loss, cm = trainer._jit_train(trainer.state, db)
+    ckpt_diff = -1.0
+    if args.ckpt_dir:
+        # orbax multi-process round-trip of the (possibly FSDP-sharded)
+        # post-step state: every process participates in the save (its
+        # local shards only), restore against the live state's shardings,
+        # compare local shards bit-for-bit
+        from meant_tpu.train import checkpoint as ckpt
+        tree = {"params": state.params, "opt": state.opt_state}
+        ckpt.save(args.ckpt_dir, tree)
+        restored = ckpt.restore(args.ckpt_dir, target=tree)
+
+        def shard_diff(a, b):
+            return float(max(
+                (np.abs(np.asarray(sa.data, np.float64)
+                        - np.asarray(sb.data, np.float64)).max()
+                 for sa, sb in zip(a.addressable_shards,
+                                   b.addressable_shards)), default=0.0))
+
+        ckpt_diff = max(jax.tree.leaves(jax.tree.map(
+            shard_diff, tree, restored)) or [0.0])
+        assert ckpt_diff == 0.0, \
+            f"checkpoint round-trip not exact: {ckpt_diff}"
     out = {"loss": float(loss),
            "pnorm": float(optax.global_norm(state.params)),
            "cm_sum": float(np.asarray(cm).sum()),
-           "n_sharded": n_sharded,
+           "n_sharded": n_sharded, "ckpt_diff": ckpt_diff,
            "process_count": jax.process_count(),
            "global_devices": len(jax.devices())}
     print(f"[p{args.process_id}] trainer {out}", flush=True)

@@ -287,14 +287,20 @@ def test_two_process_ring_sequence_parallel(tmp_path):
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="needs fork + localhost")
-def test_two_process_fsdp_trainer_step(tmp_path):
+def test_two_process_fsdp_trainer_step_and_checkpoint(tmp_path):
     """FSDP/ZeRO-3 across PROCESS boundaries: params + Adam moments
     physically sharded over the 8 devices of the 2-process mesh (the
     worker asserts local shards are smaller than the global leaves), one
-    train step, loss == the replicated single-process run."""
-    got = _run_trainer_workers(tmp_path, ["--fsdp"])
+    train step, loss == the replicated single-process run — then an orbax
+    multi-process checkpoint round-trip of the sharded state (every
+    process writes its local shards; restore is asserted exact in the
+    worker)."""
+    got = _run_trainer_workers(
+        tmp_path, ["--fsdp", "--ckpt_dir", str(tmp_path / "ckpt")],
+        timeout=540)
     assert int(got["process_count"]) == 2
     assert int(got["n_sharded"]) > 0
+    assert float(got["ckpt_diff"]) == 0.0
     want_loss, want_pnorm = _single_process_truth()
     np.testing.assert_allclose(float(got["loss"]), want_loss, rtol=1e-5)
     np.testing.assert_allclose(float(got["pnorm"]), want_pnorm, rtol=1e-5)
