@@ -55,7 +55,7 @@ def build_paper128():
 
 
 def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
-              num_encoders: int = 12, remat: bool = False):
+              num_encoders: int = 12, remat=False, scan_layers: bool = False):
     from meant_tpu.models import EmbeddingConfig
     from meant_tpu.models.meant_src import meant_src
 
@@ -65,6 +65,7 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
                       embedding=EmbeddingConfig(), num_heads=8,
                       num_encoders=num_encoders, channels=3, seq_len=512,
                       flash=True, fixed_proj=fixed_proj, remat=remat,
+                      scan_layers=scan_layers,
                       dtype=jnp.bfloat16)  # flash on BOTH branches: with
     # auto-sized q blocks the kernel now also edges XLA at the 196-patch
     # vision length (27.7 vs 29.0 ms/4-layer grad; 53.5 vs 52.5 samples/s
@@ -79,12 +80,14 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
     }
     metric = (f"TempStockLarge(src meant-{num_encoders}) train "
               f"samples/sec/chip (s={s} full padding, bf16, flash"
-              + (", remat" if remat else "") + ")")
+              + (f", remat={remat}" if remat else "")
+              + (", scan_layers" if scan_layers else "") + ")")
     return model, "meant_src", data, b, metric
 
 
 def build_src_bucketed(batch: int = 16, n: int = 256,
-                       fixed_proj: bool = False, remat: bool = False):
+                       fixed_proj: bool = False, remat=False,
+                       scan_layers: bool = False):
     """src model fed through the length-bucketed loader with a SIMULATED
     dynamic-length text distribution (uniform 64..512 content tokens) —
     comparable to the reference's dynamic per-batch padding, one jit
@@ -92,7 +95,8 @@ def build_src_bucketed(batch: int = 16, n: int = 256,
     from meant_tpu.data.loader import BucketedLoader
 
     model, name, data, b, _ = build_src(512, batch, fixed_proj=fixed_proj,
-                                        remat=remat)
+                                        remat=remat,
+                                        scan_layers=scan_layers)
     rng = np.random.RandomState(7)
     n = (n // b) * b   # keep rows == mask rows when b doesn't divide n
     data = {k: np.repeat(v, n // b, axis=0) for k, v in data.items()}
@@ -115,9 +119,18 @@ def main():
                              "src_bucketed", "src512_large"])
     ap.add_argument("--batch", type=int, default=None,
                     help="override the workload's default batch size")
-    ap.add_argument("--remat", action="store_true",
+    ap.add_argument("--remat", nargs="?", const="full", default=False,
+                    choices=["full", "dots"],
                     help="rematerialize encoder blocks (trades FLOPs for "
-                         "HBM — the lever that fits meant-LARGE at s=512)")
+                         "HBM — the lever that fits meant-LARGE at s=512). "
+                         "Bare --remat = 'full' (save nothing); "
+                         "--remat dots = selective (matmul outputs saved, "
+                         "elementwise tail recomputed; nn/stack.py)")
+    ap.add_argument("--scan_layers", action="store_true",
+                    help="roll each encoder tower into ONE lax.scan over "
+                         "layer-stacked params: O(1)-in-depth program size "
+                         "and compile time (the deep-config lever — "
+                         "meant-30 compiles 60 block copies without it)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--with-input", dest="with_input", action="store_true",
                     help="feed the step through the REAL input pipeline "
@@ -161,10 +174,11 @@ def main():
     loader = data = None
     # Refuse rather than silently mislabel: the emitted JSON is this repo's
     # measurement record — it must never claim a config that didn't run.
-    if (args.fixed_proj or args.remat or args.batch) \
+    if (args.fixed_proj or args.remat or args.batch or args.scan_layers) \
             and args.workload == "paper128":
-        raise SystemExit("--fixed_proj/--remat/--batch are not supported by "
-                         "the paper128 workload (paper-era model, fixed b=16)")
+        raise SystemExit("--fixed_proj/--remat/--scan_layers/--batch are not "
+                         "supported by the paper128 workload (paper-era "
+                         "model, fixed b=16)")
     if args.eval_mode and (args.with_input or args.workload == "src_bucketed"):
         raise SystemExit("--eval measures the device-resident eval step; it "
                          "does not compose with --with-input or the "
@@ -182,21 +196,22 @@ def main():
     elif args.workload == "src256":
         model, name, data, b, metric = build_src(
             256, batch=args.batch or 16, fixed_proj=args.fixed_proj,
-            remat=args.remat)
+            remat=args.remat, scan_layers=args.scan_layers)
     elif args.workload == "src_bucketed":
         model, name, loader, b, metric = build_src_bucketed(
             batch=args.batch or 16, fixed_proj=args.fixed_proj,
-            remat=args.remat)
+            remat=args.remat, scan_layers=args.scan_layers)
     elif args.workload == "src512_large":
         # the paper's Table-1 98.57% geometry (30+30 encoders,
         # `meant_tex.pdf`) on the src-era s=512 workload
         model, name, data, b, metric = build_src(
             512, batch=args.batch or 8, num_encoders=30,
-            fixed_proj=args.fixed_proj, remat=args.remat)
+            fixed_proj=args.fixed_proj, remat=args.remat,
+            scan_layers=args.scan_layers)
     else:
         model, name, data, b, metric = build_src(
             512, batch=args.batch or 16, fixed_proj=args.fixed_proj,
-            remat=args.remat)
+            remat=args.remat, scan_layers=args.scan_layers)
     if args.fixed_proj:
         metric += " [fixed_proj]"
     if loader is None:

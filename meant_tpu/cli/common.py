@@ -109,6 +109,18 @@ def base_parser() -> argparse.ArgumentParser:
                         "instead of sigmoid outputs, lifting the "
                         "sigmoid-CE saturation lr ceiling (meant / "
                         "meant_src; parity default off)")
+    p.add_argument("--scan_layers", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="roll each encoder tower into ONE lax.scan over "
+                        "layer-stacked params (nn/stack.py): O(1)-in-depth "
+                        "program size and compile time for deep configs "
+                        "(meant / meant_src only)")
+    p.add_argument("--remat", nargs="?", const="full", default=False,
+                   choices=["full", "dots"],
+                   help="rematerialize encoder blocks: bare --remat = "
+                        "'full' (save nothing), '--remat dots' = selective "
+                        "(matmul outputs saved; nn/stack.py) — the "
+                        "HBM-vs-FLOPs lever (meant / meant_src only)")
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--text_dim", type=int, default=768)
@@ -182,15 +194,23 @@ def build_model(args, emb_cfg=None):
                   num_encoders=args.num_encoders, dtype=dtype)
     name = args.model_name
     logits_head = bool(getattr(args, "logits_head", False))
+    scan_layers = bool(getattr(args, "scan_layers", False))
+    remat = getattr(args, "remat", False)
+    if (scan_layers or remat) and name not in ("meant", "meant_src"):
+        # refuse rather than silently ignore: the run record must never
+        # claim a config the model didn't actually use
+        raise SystemExit(f"--scan_layers/--remat are only supported by "
+                         f"meant / meant_src (got --model_name {name})")
     if name == "meant":
         return meant(td, imd, 4, size, size, 16, args.lag,
                      args.num_classes, embedding=emb, flash=args.flash,
-                     channels=4, logits_head=logits_head, **common)
+                     channels=4, logits_head=logits_head,
+                     scan_layers=scan_layers, remat=remat, **common)
     if name == "meant_src":
         return meant_src(td, imd, 5, size, size, 16, args.lag,
                          args.num_classes, embedding=emb, flash=args.flash,
                          channels=3, seq_len=512, logits_head=logits_head,
-                         **common)
+                         scan_layers=scan_layers, remat=remat, **common)
     if name == "meant_vision":
         return meant_vision(imd, 4, size, size, 16, args.lag,
                             args.num_classes, flash=args.flash, channels=4,

@@ -15,7 +15,7 @@ matmuls are large and batched; the temporal stage then sees (b, lag, dim).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ from meant_tpu.nn.embeddings import RobertaEmbeddings
 from meant_tpu.nn.encoders import (LanguageEncoder, TemporalEncoder,
                                    VisionEncoder)
 from meant_tpu.nn.layers import Linear, make_norm
+from meant_tpu.nn.stack import maybe_remat, scanned_stack
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,7 +97,13 @@ class meant(nn.Module):
     num_heads: int = 8
     num_encoders: int = 1
     channels: int = 4
-    remat: bool = False   # rematerialize encoder blocks (long-seq memory)
+    # rematerialize encoder blocks: False | True/'full' | 'dots' (selective;
+    # see nn/stack.py)
+    remat: Any = False
+    # ONE lax.scan per tower over layer-stacked params (nn/stack.py):
+    # O(1)-in-depth compile time; layout languageEncoders_scan/
+    # visionEncoders_scan
+    scan_layers: bool = False
     # reference languageEncoder.encode2 uses nn.Dropout() == p=0.5
     # (`meant/meant.py:107`, DEFECTS #22); 0.0 disables it (fixed mode)
     ff_dropout: float = 0.5
@@ -108,21 +115,30 @@ class meant(nn.Module):
                  deterministic: bool = True):
         b = images.shape[0]
         lag, s = tweets.shape[1], tweets.shape[2]
-        LangEnc = (nn.remat(LanguageEncoder, static_argnums=(3,))
-                   if self.remat else LanguageEncoder)
-        VisEnc = (nn.remat(VisionEncoder, static_argnums=(2,))
-                  if self.remat else VisionEncoder)
+        LangEnc = maybe_remat(LanguageEncoder, self.remat,
+                              static_argnums=(3,))
+        VisEnc = maybe_remat(VisionEncoder, self.remat, static_argnums=(2,))
         words = tweets.reshape(b * lag, s)
         words = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
         if attention_mask is not None:
             attention_mask = attention_mask.reshape(b * lag, s)
-        for i in range(self.num_encoders):
-            words = LangEnc(
-                self.text_dim, self.num_heads, flash=self.flash,
-                ff_dropout=self.ff_dropout,
-                dtype=self.dtype, name=f"languageEncoders_{i}")(
+        lang_kwargs = dict(dim=self.text_dim, num_heads=self.num_heads,
+                           flash=self.flash, ff_dropout=self.ff_dropout,
+                           dtype=self.dtype)
+        # the scanned body always remats (default 'dots'): an UNrematerialized
+        # scan stacks every per-layer intermediate — more HBM than unrolled
+        scan_remat = self.remat if self.remat else "dots"
+        if self.scan_layers:
+            words = scanned_stack(
+                LanguageEncoder, self.num_encoders, lang_kwargs,
+                name="languageEncoders_scan", n_ctx=1, remat=scan_remat)(
                     words, attention_mask, deterministic)
+        else:
+            for i in range(self.num_encoders):
+                words = LangEnc(**lang_kwargs,
+                                name=f"languageEncoders_{i}")(
+                                    words, attention_mask, deterministic)
         words = words.reshape(b, lag, s, self.text_dim)
 
         imgs = images.reshape(b * lag, *images.shape[2:])
@@ -130,11 +146,17 @@ class meant(nn.Module):
         patch_dim = self.channels * self.patch_res ** 2
         imgs = Linear(self.image_dim, patch_dim, dtype=self.dtype,
                       name="patchEmbed")(imgs)
-        for i in range(self.num_encoders):
-            imgs = VisEnc(
-                self.image_dim, self.num_heads, flash=self.flash,
-                dtype=self.dtype, name=f"visionEncoders_{i}")(
+        vis_kwargs = dict(dim=self.image_dim, num_heads=self.num_heads,
+                          flash=self.flash, dtype=self.dtype)
+        if self.scan_layers:
+            imgs = scanned_stack(
+                VisionEncoder, self.num_encoders, vis_kwargs,
+                name="visionEncoders_scan", remat=scan_remat)(
                     imgs, deterministic)
+        else:
+            for i in range(self.num_encoders):
+                imgs = VisEnc(**vis_kwargs,
+                              name=f"visionEncoders_{i}")(imgs, deterministic)
         n = imgs.shape[1]
         imgs = imgs.reshape(b, lag, n, self.image_dim)
 

@@ -15,7 +15,7 @@ projection actually transmits information.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ from meant_tpu.models.meant import EmbeddingConfig, MlpHead, _embedding
 from meant_tpu.nn.encoders import (LanguageEncoder, TemporalEncoder,
                                    VisionEncoder)
 from meant_tpu.nn.layers import Linear, gelu, make_norm
+from meant_tpu.nn.stack import maybe_remat, scanned_stack
 
 
 class SeqProjection(nn.Module):
@@ -72,7 +73,14 @@ class meant_src(nn.Module):
     seq_len: int = 512
     fixed_proj: bool = False
     logits_head: bool = False  # DEFECTS #23 repair: logits, not sigmoid
-    remat: bool = False   # rematerialize encoder blocks (long-seq memory)
+    # rematerialize encoder blocks: False | True/'full' | 'dots' (selective —
+    # matmul outputs saved, elementwise tail recomputed; see nn/stack.py)
+    remat: Any = False
+    # roll each encoder tower into ONE lax.scan over layer-stacked params:
+    # O(1)-in-depth program size / compile time for deep configs (meant-30).
+    # Param layout changes to languageEncoders_scan / visionEncoders_scan
+    # with a leading layer axis — see nn/stack.stack_encoder_params.
+    scan_layers: bool = False
     # per-branch flash override (None = follow `flash`): the Pallas kernel
     # wins for the 512-token text branch but loses to XLA attention at the
     # 196-patch vision length (measured on v5e — see README perf matrix)
@@ -86,10 +94,9 @@ class meant_src(nn.Module):
                  **_):
         b = pixels.shape[0]
         lag, s = input_ids.shape[1], input_ids.shape[2]
-        LangEnc = (nn.remat(LanguageEncoder, static_argnums=(3,))
-                   if self.remat else LanguageEncoder)
-        VisEnc = (nn.remat(VisionEncoder, static_argnums=(2,))
-                  if self.remat else VisionEncoder)
+        LangEnc = maybe_remat(LanguageEncoder, self.remat,
+                              static_argnums=(3,))
+        VisEnc = maybe_remat(VisionEncoder, self.remat, static_argnums=(2,))
         words = input_ids.reshape(b * lag, s)
         words = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
@@ -99,12 +106,25 @@ class meant_src(nn.Module):
                       else self.flash_text)
         flash_vision = (self.flash if self.flash_vision is None
                         else self.flash_vision)
-        for i in range(self.num_encoders):
-            words = LangEnc(
-                self.text_dim, self.num_heads, norm="layer", ff_norm2="rms",
-                init_style="xavier", flash=flash_text, dtype=self.dtype,
-                name=f"languageEncoders_{i}")(
+        lang_kwargs = dict(
+            dim=self.text_dim, num_heads=self.num_heads, norm="layer",
+            ff_norm2="rms", init_style="xavier", flash=flash_text,
+            dtype=self.dtype)
+        # an UNrematerialized scan stacks every per-layer intermediate and
+        # uses MORE HBM than the unrolled graph (measured: the 12+12 b16
+        # flagship OOMs at 34.9G vs the 15.75G chip) — the scanned body
+        # always remats, defaulting to the cheap 'dots' policy
+        scan_remat = self.remat if self.remat else "dots"
+        if self.scan_layers:
+            words = scanned_stack(
+                LanguageEncoder, self.num_encoders, lang_kwargs,
+                name="languageEncoders_scan", n_ctx=1, remat=scan_remat)(
                     words, attention_mask, deterministic)
+        else:
+            for i in range(self.num_encoders):
+                words = LangEnc(**lang_kwargs,
+                                name=f"languageEncoders_{i}")(
+                                    words, attention_mask, deterministic)
         # (b*l, s, d) -> (b, l, d, s), zero-pad seq to seq_len
         words = words.reshape(b, lag, s, self.text_dim).transpose(0, 1, 3, 2)
         if s < self.seq_len:
@@ -118,11 +138,19 @@ class meant_src(nn.Module):
         patch_dim = self.channels * self.patch_res ** 2
         imgs = Linear(self.image_dim, patch_dim, init_style="torch",
                       dtype=self.dtype, name="patchEmbed")(imgs)
-        for i in range(self.num_encoders):
-            imgs = VisEnc(
-                self.image_dim, self.num_heads, norm="layer", ff_norm2="rms",
-                init_style="xavier", flash=flash_vision, dtype=self.dtype,
-                name=f"visionEncoders_{i}")(imgs, deterministic)
+        vis_kwargs = dict(
+            dim=self.image_dim, num_heads=self.num_heads, norm="layer",
+            ff_norm2="rms", init_style="xavier", flash=flash_vision,
+            dtype=self.dtype)
+        if self.scan_layers:
+            imgs = scanned_stack(
+                VisionEncoder, self.num_encoders, vis_kwargs,
+                name="visionEncoders_scan", remat=scan_remat)(
+                    imgs, deterministic)
+        else:
+            for i in range(self.num_encoders):
+                imgs = VisEnc(**vis_kwargs,
+                              name=f"visionEncoders_{i}")(imgs, deterministic)
         n = imgs.shape[1]
         imgs = imgs.reshape(b, lag, n, self.image_dim).transpose(0, 1, 3, 2)
         imgs = SeqProjection(n, fixed=self.fixed_proj, dtype=self.dtype,

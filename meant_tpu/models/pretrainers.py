@@ -15,7 +15,7 @@ patch²*3 + pixel shuffle) reconstructing RGB; L1 loss on the first 3 channels
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,7 @@ from meant_tpu import ops
 from meant_tpu.models.meant import EmbeddingConfig, _embedding
 from meant_tpu.nn.encoders import LanguageEncoder, VisionEncoder
 from meant_tpu.nn.layers import Linear, gelu, make_norm
+from meant_tpu.nn.stack import maybe_remat, scanned_stack
 
 
 class RobertaLMHead(nn.Module):
@@ -53,6 +54,10 @@ class meant_language_pretrainer(nn.Module):
     lag: int = 5
     text_dim: int = 768
     num_heads: int = 8
+    # compile-time lever: one lax.scan over layer-stacked encoders
+    # (nn/stack.py); remat: False | True/'full' | 'dots'
+    scan_layers: bool = False
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -60,11 +65,20 @@ class meant_language_pretrainer(nn.Module):
                  deterministic: bool = True):
         x = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
-        for i in range(self.num_encoders):
-            x = LanguageEncoder(
-                self.text_dim, self.num_heads, flash=self.flash,
-                dtype=self.dtype, name=f"languageEncoders_{i}")(
-                    x, attention_mask, deterministic=deterministic)
+        kwargs = dict(dim=self.text_dim, num_heads=self.num_heads,
+                      flash=self.flash, dtype=self.dtype)
+        if self.scan_layers:
+            x = scanned_stack(
+                LanguageEncoder, self.num_encoders, kwargs,
+                name="languageEncoders_scan", n_ctx=1,
+                remat=self.remat if self.remat else "dots")(
+                    x, attention_mask, deterministic)
+        else:
+            Enc = maybe_remat(LanguageEncoder, self.remat,
+                              static_argnums=(3,))
+            for i in range(self.num_encoders):
+                x = Enc(**kwargs, name=f"languageEncoders_{i}")(
+                    x, attention_mask, deterministic)
         return RobertaLMHead(self.text_dim, self.embedding.vocab_size,
                              name="mlm_head")(x)
 
@@ -90,6 +104,10 @@ class meant_vision_pretrainer(nn.Module):
     image_dim: int = 768
     num_heads: int = 8
     flash: bool = False
+    # compile-time lever: one lax.scan over layer-stacked encoders
+    # (nn/stack.py); remat: False | True/'full' | 'dots'
+    scan_layers: bool = False
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -98,11 +116,19 @@ class meant_vision_pretrainer(nn.Module):
         patch_dim = self.channels * self.patch_res ** 2
         x = Linear(self.image_dim, patch_dim, dtype=self.dtype,
                    name="patchEmbed")(x)
-        for i in range(self.num_encoders):
-            x = VisionEncoder(
-                self.image_dim, self.num_heads, flash=self.flash,
-                dtype=self.dtype, name=f"visionEncoders_{i}")(
-                    x, deterministic=deterministic)
+        kwargs = dict(dim=self.image_dim, num_heads=self.num_heads,
+                      flash=self.flash, dtype=self.dtype)
+        if self.scan_layers:
+            x = scanned_stack(
+                VisionEncoder, self.num_encoders, kwargs,
+                name="visionEncoders_scan",
+                remat=self.remat if self.remat else "dots")(
+                    x, deterministic)
+        else:
+            Enc = maybe_remat(VisionEncoder, self.remat, static_argnums=(2,))
+            for i in range(self.num_encoders):
+                x = Enc(**kwargs, name=f"visionEncoders_{i}")(
+                    x, deterministic)
         b, n, d = x.shape
         hw = math.floor(n ** 0.5)
         fmap = x.transpose(0, 2, 1).reshape(b, d, hw, hw)

@@ -787,11 +787,26 @@ def _unencoder(tree: Mapping, out: Dict, prefix: str, norm: str = "rms",
         out[f"{xpos_prefix}.freqs"] = np.asarray(tree["attn"]["freqs"])
 
 
+def _ensure_unrolled(params: Mapping, num_encoders: int) -> Mapping:
+    """Accept either encoder-param layout: if the tree was trained with
+    `scan_layers=True` (one `<prefix>_scan` subtree with a leading layer
+    axis — nn/stack.py), convert back to the unrolled `<prefix>_{i}`
+    layout the torch state_dict mirrors."""
+    from meant_tpu.nn.stack import unstack_encoder_params
+    for prefix in ("languageEncoders", "visionEncoders"):
+        if f"{prefix}_scan" in params:
+            params = unstack_encoder_params(dict(params), prefix,
+                                            num_encoders)
+    return params
+
+
 def export_meant(params: Mapping, num_encoders: int) -> Dict:
     """Inverse of import_meant: a meant_tpu `meant` param tree back to the
     reference's torch state_dict layout (numpy values — load with
     `ref.load_state_dict({k: torch.tensor(v) ...})`). Round-trip tested in
-    tests/test_port.py."""
+    tests/test_port.py. Accepts both encoder layouts (unrolled or
+    scan_layers-stacked)."""
+    params = _ensure_unrolled(params, num_encoders)
     out: Dict = {}
     emb = params["embedding"]
     out["embedding.0.word_embeddings.weight"] = \

@@ -1,0 +1,234 @@
+"""Scanned encoder stacks (nn/stack.py): one lax.scan over layer-stacked
+params == the unrolled python loop, for forward, gradients, remat policies
+and the param-layout converters.
+
+The reference has no equivalent (torch eager unrolls its nn.ModuleList,
+`src/meant/meant.py:222-248`); this is the TPU-side compile-time feature for
+the deep Table-1 configs (meant-30). Equivalence is asserted by initializing
+the UNROLLED model and converting its params with stack_encoder_params, so
+the exact same weights run through both code paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meant_tpu.models.meant import EmbeddingConfig
+from meant_tpu.models.meant_src import meant_src
+from meant_tpu.nn.stack import (stack_encoder_params, unstack_encoder_params)
+
+TINY_EMB = EmbeddingConfig(vocab_size=100, hidden_size=32,
+                           max_position_embeddings=40, dropout=0.1)
+N_ENC = 4
+LAG, S, B = 2, 16, 2
+
+
+def _model(scan_layers, remat=False, flash=False):
+    return meant_src(text_dim=32, image_dim=32, price_dim=5, height=32,
+                     width=32, patch_res=16, lag=LAG, num_classes=2,
+                     embedding=TINY_EMB, num_heads=4, num_encoders=N_ENC,
+                     channels=3, seq_len=S, flash=flash,
+                     scan_layers=scan_layers, remat=remat)
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "input_ids": rng.randint(0, 100, size=(B, LAG, S)).astype(np.int32),
+        "pixels": rng.randn(B, LAG, 3, 32, 32).astype(np.float32),
+        "prices": rng.randn(B, LAG, 5).astype(np.float32),
+        "attention_mask": np.ones((B, LAG, S), np.float32),
+    }
+
+
+def _to_scanned(unrolled_params):
+    p = stack_encoder_params(unrolled_params["params"],
+                             "languageEncoders", N_ENC)
+    p = stack_encoder_params(p, "visionEncoders", N_ENC)
+    return {"params": p}
+
+
+@pytest.fixture(scope="module")
+def unrolled_and_batch():
+    model = _model(scan_layers=False)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    return model, variables, batch
+
+
+def test_scanned_param_shapes(unrolled_and_batch):
+    model, variables, batch = unrolled_and_batch
+    scanned = _to_scanned(variables)
+    stacked = scanned["params"]["languageEncoders_scan"]["enc"]
+    # every leaf gains a leading layer axis
+    for leaf in jax.tree.leaves(stacked):
+        assert leaf.shape[0] == N_ENC
+    # scanned init produces the SAME tree structure and shapes
+    init_scan = _model(scan_layers=True).init(jax.random.PRNGKey(0), **batch)
+    assert (jax.tree.structure(init_scan)
+            == jax.tree.structure(scanned))
+    assert all(a.shape == b.shape for a, b in
+               zip(jax.tree.leaves(init_scan), jax.tree.leaves(scanned)))
+
+
+def test_stack_unstack_round_trip(unrolled_and_batch):
+    _, variables, _ = unrolled_and_batch
+    p = variables["params"]
+    rt = unstack_encoder_params(
+        stack_encoder_params(p, "languageEncoders", N_ENC),
+        "languageEncoders", N_ENC)
+    assert sorted(rt.keys()) == sorted(p.keys())
+    for a, b in zip(jax.tree.leaves(rt["languageEncoders_2"]),
+                    jax.tree.leaves(p["languageEncoders_2"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("remat", [False, True, "dots"])
+def test_scanned_forward_matches_unrolled(unrolled_and_batch, remat):
+    model, variables, batch = unrolled_and_batch
+    ref = model.apply(variables, **batch)
+    out = _model(scan_layers=True, remat=remat).apply(
+        _to_scanned(variables), **batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("remat", [False, "dots"])
+def test_scanned_grads_match_unrolled(unrolled_and_batch, remat):
+    model, variables, batch = unrolled_and_batch
+    y = jnp.array([0, 1], jnp.int32)
+
+    def loss_unrolled(params):
+        out = model.apply({"params": params}, **batch)
+        return -jnp.mean(jax.nn.log_softmax(out)[jnp.arange(B), y])
+
+    scan_model = _model(scan_layers=True, remat=remat)
+
+    def loss_scanned(params):
+        out = scan_model.apply({"params": params}, **batch)
+        return -jnp.mean(jax.nn.log_softmax(out)[jnp.arange(B), y])
+
+    g_ref = jax.grad(loss_unrolled)(variables["params"])
+    g_scan = jax.grad(loss_scanned)(_to_scanned(variables)["params"])
+    # compare the scanned grads against the STACKED unrolled grads
+    g_ref_stacked = _to_scanned({"params": g_ref})["params"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        g_scan, g_ref_stacked)
+
+
+def test_unrolled_dots_remat_matches_no_remat(unrolled_and_batch):
+    model, variables, batch = unrolled_and_batch
+    ref = model.apply(variables, **batch)
+    out = _model(scan_layers=False, remat="dots").apply(variables, **batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_scanned_flash_matches_unrolled_flash(unrolled_and_batch):
+    # flash path (interpret-mode kernel on CPU) through the scanned stack
+    _, variables, batch = unrolled_and_batch
+    ref = _model(scan_layers=False, flash=True).apply(variables, **batch)
+    out = _model(scan_layers=True, flash=True).apply(
+        _to_scanned(variables), **batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_export_accepts_scanned_layout():
+    # a scan_layers-trained checkpoint exports to the SAME torch state_dict
+    # as its unrolled twin (utils/port._ensure_unrolled)
+    from meant_tpu.models.meant import meant
+    from meant_tpu.utils.port import export_meant
+
+    model = meant(text_dim=32, image_dim=32, price_dim=4, height=32,
+                  width=32, patch_res=16, lag=LAG, num_classes=2,
+                  embedding=TINY_EMB, num_heads=4, num_encoders=2,
+                  channels=4)
+    rng = np.random.RandomState(1)
+    batch = dict(
+        tweets=rng.randint(0, 100, size=(B, LAG, S)).astype(np.int32),
+        images=rng.randn(B, LAG, 4, 32, 32).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    p = variables["params"]
+    sd_unrolled = export_meant(p, 2)
+    sp = stack_encoder_params(p, "languageEncoders", 2)
+    sp = stack_encoder_params(sp, "visionEncoders", 2)
+    sd_scanned = export_meant(sp, 2)
+    assert sorted(sd_scanned) == sorted(sd_unrolled)
+    for k in sd_unrolled:
+        np.testing.assert_array_equal(sd_scanned[k], sd_unrolled[k])
+
+
+def test_cli_plumbs_scan_layers_and_remat():
+    from meant_tpu.cli.common import base_parser, build_model
+
+    args = base_parser().parse_args(
+        ["-rid", "t", "-mn", "meant_src", "--scan_layers", "--remat",
+         "dots", "--seq_len", "512"])
+    model = build_model(args)
+    assert model.scan_layers is True and model.remat == "dots"
+    # bare --remat means 'full'
+    args = base_parser().parse_args(
+        ["-rid", "t", "-mn", "meant", "--remat"])
+    assert build_model(args).remat == "full"
+    # unsupported model refuses loudly rather than silently ignoring
+    args = base_parser().parse_args(
+        ["-rid", "t", "-mn", "meant_vision", "--scan_layers"])
+    with pytest.raises(SystemExit):
+        build_model(args)
+
+
+def test_pretrainers_scan_matches_unrolled():
+    from meant_tpu.models.pretrainers import (meant_language_pretrainer,
+                                              meant_vision_pretrainer)
+
+    rng = np.random.RandomState(2)
+    words = rng.randint(0, 100, size=(B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.float32)
+    lm = meant_language_pretrainer(num_encoders=N_ENC, embedding=TINY_EMB,
+                                   text_dim=32, num_heads=4)
+    v = lm.init(jax.random.PRNGKey(0), words, mask)
+    ref = lm.apply(v, words, mask)
+    sp = {"params": stack_encoder_params(v["params"],
+                                         "languageEncoders", N_ENC)}
+    out = lm.clone(scan_layers=True).apply(sp, words, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    imgs = rng.randn(B, 4, 32, 32).astype(np.float32)
+    vm = meant_vision_pretrainer(num_encoders=N_ENC, patch_res=16,
+                                 height=32, width=32, image_dim=32,
+                                 num_heads=4)
+    v = vm.init(jax.random.PRNGKey(0), imgs)
+    ref = vm.apply(v, imgs)
+    sp = {"params": stack_encoder_params(v["params"],
+                                         "visionEncoders", N_ENC)}
+    out = vm.clone(scan_layers=True).apply(sp, imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_scanned_dropout_trains(unrolled_and_batch):
+    # non-deterministic path: per-layer dropout rngs split, loss finite,
+    # and a jitted grad step executes under scan
+    model, variables, batch = unrolled_and_batch
+    scan_model = _model(scan_layers=True, remat="dots")
+    params = _to_scanned(variables)["params"]
+    y = jnp.array([0, 1], jnp.int32)
+
+    @jax.jit
+    def step(params):
+        def loss_fn(p):
+            out = scan_model.apply(
+                {"params": p}, **batch, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)})
+            return -jnp.mean(jax.nn.log_softmax(out)[jnp.arange(B), y])
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss, grads = step(params)
+    assert np.isfinite(float(loss))
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    assert float(gnorm) > 0.0
