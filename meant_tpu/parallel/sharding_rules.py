@@ -40,16 +40,22 @@ def param_shardings(params, mesh: Mesh,
         if axis_size > 1:
             for pattern, spec in rules:
                 if re.search(pattern, path):
+                    # scanned towers (nn/stack.py) stack every leaf with a
+                    # LEADING layer axis — shift the rule right by one dim so
+                    # 'model' stays on the same logical (in/out) axis and the
+                    # layer axis stays replicated
+                    shifted = (P(None, *spec) if "_scan" in path
+                               and leaf.ndim == len(spec) + 1 else spec)
                     # check divisibility of the sharded dimension
                     ok = True
-                    for dim, name in enumerate(spec):
+                    for dim, name in enumerate(shifted):
                         if name == "model" and dim < leaf.ndim and \
                                 leaf.shape[dim] % axis_size != 0:
                             ok = False
-                    if ok and leaf.ndim >= len([s for s in spec
+                    if ok and leaf.ndim >= len([s for s in shifted
                                                 if s is not None]):
-                        padded = P(*(list(spec) + [None] *
-                                     (leaf.ndim - len(spec))))
+                        padded = P(*(list(shifted) + [None] *
+                                     (leaf.ndim - len(shifted))))
                         return NamedSharding(mesh, padded)
         return NamedSharding(mesh, P())
 

@@ -17,7 +17,8 @@ functional.
 from __future__ import annotations
 
 import os
-from typing import Dict, Sequence
+import re
+from typing import Dict, Optional, Sequence
 
 import jax
 import orbax.checkpoint as ocp
@@ -76,20 +77,52 @@ def restore(path: str, target=None):
     return ckptr.restore(path)
 
 
+def _match_encoder_layout(source_params: Dict, key: str) -> Optional[Dict]:
+    """Resolve `key`'s subtree from a source that may use the OTHER encoder
+    param layout (nn/stack.py): a `<tower>_scan` target grafts from an
+    unrolled `<tower>_{i}` source by stacking, and vice versa by unstacking.
+    Returns None when the source has neither layout."""
+    from meant_tpu.nn.stack import (stack_encoder_params,
+                                    unstack_encoder_params)
+    if key in source_params:
+        return source_params[key]
+    if key.endswith("_scan"):
+        prefix = key[:-len("_scan")]
+        n = 0
+        while f"{prefix}_{n}" in source_params:
+            n += 1
+        if n:
+            return stack_encoder_params(source_params, prefix, n)[key]
+    m = re.fullmatch(r"(.*)_(\d+)", key)
+    if m and f"{m.group(1)}_scan" in source_params:
+        prefix = m.group(1)
+        leaves = jax.tree.leaves(source_params[f"{prefix}_scan"])
+        n = int(leaves[0].shape[0])
+        if int(m.group(2)) < n:
+            return unstack_encoder_params(source_params, prefix, n)[key]
+    return None
+
+
 def graft(target_params: Dict, source_params: Dict,
           prefixes: Sequence[str] = ("languageEncoders_", "visionEncoders_",
                                      "embedding")) -> Dict:
     """Copy sub-trees whose top-level key matches any prefix from source into
     target (returns a new tree). Mirrors the reference's encoder grafting
-    (`in_loop_train.py:496-507`)."""
+    (`in_loop_train.py:496-507`). Encoder towers graft ACROSS param layouts:
+    an unrolled pretraining checkpoint loads into a `scan_layers=True` model
+    (subtrees stacked on the fly) and a scanned checkpoint into an unrolled
+    model — rather than silently skipping on the key mismatch."""
     out = dict(target_params)
     for key in target_params:
-        if any(key.startswith(p) for p in prefixes) and key in source_params:
-            src = source_params[key]
-            tgt = target_params[key]
-            # shapes must agree
-            jax.tree.map(lambda a, b: None if a.shape == b.shape else
-                         (_ for _ in ()).throw(ValueError(
-                             f"graft shape mismatch under {key}")), tgt, src)
-            out[key] = src
+        if not any(key.startswith(p) for p in prefixes):
+            continue
+        src = _match_encoder_layout(source_params, key)
+        if src is None:
+            continue
+        tgt = target_params[key]
+        # shapes must agree
+        jax.tree.map(lambda a, b: None if a.shape == b.shape else
+                     (_ for _ in ()).throw(ValueError(
+                         f"graft shape mismatch under {key}")), tgt, src)
+        out[key] = src
     return out

@@ -211,6 +211,58 @@ def test_pretrainers_scan_matches_unrolled():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_tp_rules_shift_for_scanned_layout(unrolled_and_batch):
+    # TP sharding rules place 'model' on the same LOGICAL axis for scanned
+    # towers: stacked kernels are (L, in, out), so the megatron specs shift
+    # right by one and the layer axis stays replicated
+    from jax.sharding import PartitionSpec as P
+    from meant_tpu.parallel import make_mesh, param_shardings, shard_params
+
+    model, variables, batch = unrolled_and_batch
+    scanned = _to_scanned(variables)["params"]
+    mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+    shardings = param_shardings(scanned, mesh)
+    enc = shardings["languageEncoders_scan"]["enc"]["attn"]
+    assert enc["q"]["dense"]["kernel"].spec == P(None, None, "model")
+    assert enc["multi_mad"]["dense"]["kernel"].spec == P(None, "model", None)
+    # unrolled rules are unchanged by the shift logic
+    un = param_shardings(variables["params"], mesh)
+    assert un["languageEncoders_0"]["attn"]["q"]["dense"]["kernel"].spec \
+        == P(None, "model")
+    # and the TP-sharded scanned forward still matches the replicated run
+    ref = _model(scan_layers=True).apply({"params": scanned}, **batch)
+    out = jax.jit(lambda p: _model(scan_layers=True).apply(
+        {"params": p}, **batch))(shard_params(scanned, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_graft_across_param_layouts(unrolled_and_batch):
+    # an UNROLLED pretraining checkpoint grafts into a scan_layers model
+    # (stacked on the fly) and a scanned checkpoint into an unrolled model —
+    # the key mismatch must not silently skip the copy
+    from meant_tpu.train.checkpoint import graft
+
+    model, variables, batch = unrolled_and_batch
+    unrolled = variables["params"]
+    scanned = _to_scanned(variables)["params"]
+
+    fresh_scan = jax.tree.map(jnp.zeros_like, scanned)
+    grafted = graft(fresh_scan, unrolled)
+    for a, b in zip(jax.tree.leaves(grafted["languageEncoders_scan"]),
+                    jax.tree.leaves(scanned["languageEncoders_scan"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fresh_unrolled = jax.tree.map(jnp.zeros_like, unrolled)
+    grafted = graft(fresh_unrolled, scanned)
+    for a, b in zip(jax.tree.leaves(grafted["languageEncoders_2"]),
+                    jax.tree.leaves(unrolled["languageEncoders_2"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-encoder subtrees stay untouched on layout mismatch
+    assert float(jnp.sum(jnp.abs(
+        jax.tree.leaves(grafted["temporal_encoding_0"])[0]))) == 0.0
+
+
 def test_scanned_dropout_trains(unrolled_and_batch):
     # non-deterministic path: per-layer dropout rngs split, loss finite,
     # and a jitted grad step executes under scan
