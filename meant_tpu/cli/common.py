@@ -114,13 +114,13 @@ def base_parser() -> argparse.ArgumentParser:
                    help="roll each encoder tower into ONE lax.scan over "
                         "layer-stacked params (nn/stack.py): O(1)-in-depth "
                         "program size and compile time for deep configs "
-                        "(meant / meant_src only)")
+                        "(meant-family towers)")
     p.add_argument("--remat", nargs="?", const="full", default=False,
                    choices=["full", "dots"],
                    help="rematerialize encoder blocks: bare --remat = "
                         "'full' (save nothing), '--remat dots' = selective "
                         "(matmul outputs saved; nn/stack.py) — the "
-                        "HBM-vs-FLOPs lever (meant / meant_src only)")
+                        "HBM-vs-FLOPs lever (meant-family towers)")
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--text_dim", type=int, default=768)
@@ -196,34 +196,36 @@ def build_model(args, emb_cfg=None):
     logits_head = bool(getattr(args, "logits_head", False))
     scan_layers = bool(getattr(args, "scan_layers", False))
     remat = getattr(args, "remat", False)
-    if (scan_layers or remat) and name not in ("meant", "meant_src"):
+    SCAN_MODELS = ("meant", "meant_src", "meant_vision", "meant_tweet",
+                   "meant_tweet_no_lag", "meantPrice", "meant_vqa")
+    if (scan_layers or remat) and name not in SCAN_MODELS:
         # refuse rather than silently ignore: the run record must never
         # claim a config the model didn't actually use
         raise SystemExit(f"--scan_layers/--remat are only supported by "
-                         f"meant / meant_src (got --model_name {name})")
+                         f"{'/'.join(SCAN_MODELS)} (got --model_name {name})")
+    stack = dict(scan_layers=scan_layers, remat=remat)
     if name == "meant":
         return meant(td, imd, 4, size, size, 16, args.lag,
                      args.num_classes, embedding=emb, flash=args.flash,
-                     channels=4, logits_head=logits_head,
-                     scan_layers=scan_layers, remat=remat, **common)
+                     channels=4, logits_head=logits_head, **stack, **common)
     if name == "meant_src":
         return meant_src(td, imd, 5, size, size, 16, args.lag,
                          args.num_classes, embedding=emb, flash=args.flash,
                          channels=3, seq_len=512, logits_head=logits_head,
-                         scan_layers=scan_layers, remat=remat, **common)
+                         **stack, **common)
     if name == "meant_vision":
         return meant_vision(imd, 4, size, size, 16, args.lag,
                             args.num_classes, flash=args.flash, channels=4,
-                            **common)
+                            **stack, **common)
     if name == "meant_tweet":
         return meant_tweet(td, 4, args.lag, args.num_classes, embedding=emb,
-                           flash=args.flash, **common)
+                           flash=args.flash, **stack, **common)
     if name == "meant_tweet_no_lag":
         return meant_tweet_no_lag(td, 4, size, size, 16, args.num_classes,
-                                  embedding=emb, **common)
+                                  embedding=emb, **stack, **common)
     if name == "meantPrice":
         return meantPrice(td, imd, 4, size, size, 16, args.lag,
-                          args.num_classes, embedding=emb, **common)
+                          args.num_classes, embedding=emb, **stack, **common)
     if name == "meant_tweet_price":
         return meantTweetPrice(td, 5, args.lag, args.num_classes,
                                embedding=emb, flash=args.flash, **common)
@@ -245,7 +247,7 @@ def build_model(args, emb_cfg=None):
                           embedding=None, **common)
     if name == "meant_vqa":
         return meant_vqa(td, imd, 4, size, size, 16, 1, args.num_classes,
-                         embedding=emb, flash=args.flash, **common)
+                         embedding=emb, flash=args.flash, **stack, **common)
     if name == "teanet":
         from meant_tpu.models import teanet
         return teanet(dim=args.dimension, num_heads=4, lag=args.lag,

@@ -49,6 +49,39 @@ def _embedding(cfg: EmbeddingConfig, dtype, name="embedding"):
         dtype=dtype, name=name)
 
 
+def _lang_tower(x, m, enc_kwargs, attention_mask, deterministic):
+    """Depth-`m.num_encoders` LanguageEncoder tower, called inside the
+    parent's @nn.compact: the unrolled python loop, or ONE lax.scan over
+    layer-stacked params when `m.scan_layers` (nn/stack.py — O(1)-in-depth
+    program size). `m.remat` picks the policy either way; a scanned body
+    always remats (default 'dots') because an unrematerialized scan stacks
+    every per-layer intermediate and uses MORE HBM than the unrolled graph."""
+    if m.scan_layers:
+        return scanned_stack(
+            LanguageEncoder, m.num_encoders, enc_kwargs,
+            name="languageEncoders_scan", n_ctx=1,
+            remat=m.remat if m.remat else "dots")(
+                x, attention_mask, deterministic)
+    Enc = maybe_remat(LanguageEncoder, m.remat, static_argnums=(3,))
+    for i in range(m.num_encoders):
+        x = Enc(**enc_kwargs, name=f"languageEncoders_{i}")(
+            x, attention_mask, deterministic)
+    return x
+
+
+def _vision_tower(x, m, enc_kwargs, deterministic):
+    """VisionEncoder twin of _lang_tower (no mask ctx)."""
+    if m.scan_layers:
+        return scanned_stack(
+            VisionEncoder, m.num_encoders, enc_kwargs,
+            name="visionEncoders_scan",
+            remat=m.remat if m.remat else "dots")(x, deterministic)
+    Enc = maybe_remat(VisionEncoder, m.remat, static_argnums=(2,))
+    for i in range(m.num_encoders):
+        x = Enc(**enc_kwargs, name=f"visionEncoders_{i}")(x, deterministic)
+    return x
+
+
 class MlpHead(nn.Module):
     """[norm, Linear(dim, classes), Sigmoid] (`meant/meant.py:204`).
 
@@ -115,30 +148,15 @@ class meant(nn.Module):
                  deterministic: bool = True):
         b = images.shape[0]
         lag, s = tweets.shape[1], tweets.shape[2]
-        LangEnc = maybe_remat(LanguageEncoder, self.remat,
-                              static_argnums=(3,))
-        VisEnc = maybe_remat(VisionEncoder, self.remat, static_argnums=(2,))
         words = tweets.reshape(b * lag, s)
         words = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
         if attention_mask is not None:
             attention_mask = attention_mask.reshape(b * lag, s)
-        lang_kwargs = dict(dim=self.text_dim, num_heads=self.num_heads,
-                           flash=self.flash, ff_dropout=self.ff_dropout,
-                           dtype=self.dtype)
-        # the scanned body always remats (default 'dots'): an UNrematerialized
-        # scan stacks every per-layer intermediate — more HBM than unrolled
-        scan_remat = self.remat if self.remat else "dots"
-        if self.scan_layers:
-            words = scanned_stack(
-                LanguageEncoder, self.num_encoders, lang_kwargs,
-                name="languageEncoders_scan", n_ctx=1, remat=scan_remat)(
-                    words, attention_mask, deterministic)
-        else:
-            for i in range(self.num_encoders):
-                words = LangEnc(**lang_kwargs,
-                                name=f"languageEncoders_{i}")(
-                                    words, attention_mask, deterministic)
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, flash=self.flash,
+            ff_dropout=self.ff_dropout, dtype=self.dtype),
+            attention_mask, deterministic)
         words = words.reshape(b, lag, s, self.text_dim)
 
         imgs = images.reshape(b * lag, *images.shape[2:])
@@ -146,17 +164,9 @@ class meant(nn.Module):
         patch_dim = self.channels * self.patch_res ** 2
         imgs = Linear(self.image_dim, patch_dim, dtype=self.dtype,
                       name="patchEmbed")(imgs)
-        vis_kwargs = dict(dim=self.image_dim, num_heads=self.num_heads,
-                          flash=self.flash, dtype=self.dtype)
-        if self.scan_layers:
-            imgs = scanned_stack(
-                VisionEncoder, self.num_encoders, vis_kwargs,
-                name="visionEncoders_scan", remat=scan_remat)(
-                    imgs, deterministic)
-        else:
-            for i in range(self.num_encoders):
-                imgs = VisEnc(**vis_kwargs,
-                              name=f"visionEncoders_{i}")(imgs, deterministic)
+        imgs = _vision_tower(imgs, self, dict(
+            dim=self.image_dim, num_heads=self.num_heads, flash=self.flash,
+            dtype=self.dtype), deterministic)
         n = imgs.shape[1]
         imgs = imgs.reshape(b, lag, n, self.image_dim)
 
@@ -186,6 +196,10 @@ class meant_vision(nn.Module):
     num_heads: int = 8
     num_encoders: int = 1
     channels: int = 4
+    # scan_layers/remat: compile-time + HBM levers shared by every deep-tower
+    # model — see nn/stack.py
+    scan_layers: bool = False
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -196,11 +210,9 @@ class meant_vision(nn.Module):
         patch_dim = self.channels * self.patch_res ** 2
         imgs = Linear(self.image_dim, patch_dim, dtype=self.dtype,
                       name="patchEmbed")(imgs)
-        for i in range(self.num_encoders):
-            imgs = VisionEncoder(
-                self.image_dim, self.num_heads, flash=self.flash,
-                dtype=self.dtype, name=f"visionEncoders_{i}")(
-                    imgs, deterministic=deterministic)
+        imgs = _vision_tower(imgs, self, dict(
+            dim=self.image_dim, num_heads=self.num_heads, flash=self.flash,
+            dtype=self.dtype), deterministic)
         imgs = imgs.reshape(b, lag, imgs.shape[1], self.image_dim)
         fused = jnp.mean(imgs, axis=2)
         fused = TemporalEncoder(self.image_dim, self.num_heads, self.lag,
@@ -226,6 +238,8 @@ class meant_tweet(nn.Module):
     num_encoders: int = 1
     channels: int = 4
     ff_dropout: float = 0.5   # reference nn.Dropout() default (DEFECTS #22)
+    scan_layers: bool = False   # nn/stack.py levers (the 12/24-encoder
+    remat: Any = False          # grafting configs hit unrolled compile cost)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -236,12 +250,10 @@ class meant_tweet(nn.Module):
             attention_mask = attention_mask.reshape(b * lag, s)
         words = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
-        for i in range(self.num_encoders):
-            words = LanguageEncoder(
-                self.text_dim, self.num_heads, flash=self.flash,
-                ff_dropout=self.ff_dropout,
-                dtype=self.dtype, name=f"languageEncoders_{i}")(
-                    words, attention_mask, deterministic=deterministic)
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, flash=self.flash,
+            ff_dropout=self.ff_dropout, dtype=self.dtype),
+            attention_mask, deterministic)
         words = words.reshape(b, lag, s, self.text_dim)
         fused = jnp.mean(words, axis=2)  # "mean pooling works way better"
         fused = TemporalEncoder(self.text_dim, self.num_heads, self.lag,
@@ -266,6 +278,8 @@ class meant_tweet_no_lag(nn.Module):
     num_heads: int = 8
     num_encoders: int = 1
     channels: int = 4
+    scan_layers: bool = False   # nn/stack.py levers
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -278,13 +292,11 @@ class meant_tweet_no_lag(nn.Module):
         words = jnp.concatenate(
             (jnp.broadcast_to(cls, (b, 1, self.text_dim)).astype(words.dtype),
              words), axis=1)
-        for i in range(self.num_encoders):
-            # LayerNorm generation of languageEncoder, no flash, no mask,
-            # no ff dropout (`meant_tweet_no_lag.py:28-58`).
-            words = LanguageEncoder(
-                self.text_dim, self.num_heads, norm="layer", ff_dropout=0.0,
-                dtype=self.dtype, name=f"languageEncoders_{i}")(
-                    words, deterministic=deterministic)
+        # LayerNorm generation of languageEncoder, no flash, no mask,
+        # no ff dropout (`meant_tweet_no_lag.py:28-58`).
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, norm="layer",
+            ff_dropout=0.0, dtype=self.dtype), None, deterministic)
         pooled = words[:, 0, :]
         return MlpHead(self.text_dim, self.num_classes, norm="layer",
                        dtype=self.dtype, name="mlpHead")(pooled)
@@ -312,6 +324,8 @@ class meantPrice(nn.Module):
     num_heads: int = 8
     num_encoders: int = 1
     channels: int = 4
+    scan_layers: bool = False   # nn/stack.py levers
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -327,11 +341,9 @@ class meantPrice(nn.Module):
             (jnp.broadcast_to(txt_cls, (b, lag, 1, self.text_dim)
                               ).astype(words.dtype), words), axis=2)
         words = words.reshape(b * lag, s + 1, self.text_dim)
-        for i in range(self.num_encoders):
-            words = LanguageEncoder(
-                self.text_dim, self.num_heads, norm="layer", ff_dropout=0.0,
-                dtype=self.dtype, name=f"languageEncoders_{i}")(
-                    words, deterministic=deterministic)
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, norm="layer",
+            ff_dropout=0.0, dtype=self.dtype), None, deterministic)
         words = words.reshape(b, lag, s + 1, self.text_dim)
 
         imgs = images.reshape(b * lag, *images.shape[2:])
@@ -347,11 +359,9 @@ class meantPrice(nn.Module):
             (jnp.broadcast_to(img_cls, (b, lag, 1, self.image_dim)
                               ).astype(imgs.dtype), imgs), axis=2)
         imgs = imgs.reshape(b * lag, n + 1, self.image_dim)
-        for i in range(self.num_encoders):
-            imgs = VisionEncoder(
-                self.image_dim, self.num_heads, norm="layer",
-                dtype=self.dtype, name=f"visionEncoders_{i}")(
-                    imgs, deterministic=deterministic)
+        imgs = _vision_tower(imgs, self, dict(
+            dim=self.image_dim, num_heads=self.num_heads, norm="layer",
+            dtype=self.dtype), deterministic)
         imgs = imgs.reshape(b, lag, n + 1, self.image_dim)
 
         dim = self.text_dim + self.image_dim + self.price_dim  # 1540
@@ -383,6 +393,8 @@ class meant_vqa(nn.Module):
     num_heads: int = 8
     num_encoders: int = 1
     channels: int = 4
+    scan_layers: bool = False   # nn/stack.py levers
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -390,20 +402,16 @@ class meant_vqa(nn.Module):
                  deterministic: bool = True):
         words = _embedding(self.embedding, self.dtype)(
             tweets, deterministic=deterministic)
-        for i in range(self.num_encoders):
-            words = LanguageEncoder(
-                self.text_dim, self.num_heads, flash=self.flash,
-                dtype=self.dtype, name=f"languageEncoders_{i}")(
-                    words, attention_mask, deterministic=deterministic)
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, flash=self.flash,
+            dtype=self.dtype), attention_mask, deterministic)
         imgs = ops.patchify(images, self.patch_res)
         patch_dim = self.channels * self.patch_res ** 2
         imgs = Linear(self.image_dim, patch_dim, dtype=self.dtype,
                       name="patchEmbed")(imgs)
-        for i in range(self.num_encoders):
-            imgs = VisionEncoder(
-                self.image_dim, self.num_heads, flash=self.flash,
-                dtype=self.dtype, name=f"visionEncoders_{i}")(
-                    imgs, deterministic=deterministic)
+        imgs = _vision_tower(imgs, self, dict(
+            dim=self.image_dim, num_heads=self.num_heads, flash=self.flash,
+            dtype=self.dtype), deterministic)
         fused = jnp.concatenate(
             (jnp.mean(words, axis=1), jnp.mean(imgs, axis=1)), axis=1)
         dim = self.text_dim + self.image_dim

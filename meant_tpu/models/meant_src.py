@@ -22,11 +22,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from meant_tpu import ops
-from meant_tpu.models.meant import EmbeddingConfig, MlpHead, _embedding
+from meant_tpu.models.meant import (EmbeddingConfig, MlpHead, _embedding,
+                                    _lang_tower, _vision_tower)
 from meant_tpu.nn.encoders import (LanguageEncoder, TemporalEncoder,
                                    VisionEncoder)
 from meant_tpu.nn.layers import Linear, gelu, make_norm
-from meant_tpu.nn.stack import maybe_remat, scanned_stack
 
 
 class SeqProjection(nn.Module):
@@ -94,9 +94,6 @@ class meant_src(nn.Module):
                  **_):
         b = pixels.shape[0]
         lag, s = input_ids.shape[1], input_ids.shape[2]
-        LangEnc = maybe_remat(LanguageEncoder, self.remat,
-                              static_argnums=(3,))
-        VisEnc = maybe_remat(VisionEncoder, self.remat, static_argnums=(2,))
         words = input_ids.reshape(b * lag, s)
         words = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
@@ -106,25 +103,14 @@ class meant_src(nn.Module):
                       else self.flash_text)
         flash_vision = (self.flash if self.flash_vision is None
                         else self.flash_vision)
-        lang_kwargs = dict(
-            dim=self.text_dim, num_heads=self.num_heads, norm="layer",
-            ff_norm2="rms", init_style="xavier", flash=flash_text,
-            dtype=self.dtype)
         # an UNrematerialized scan stacks every per-layer intermediate and
         # uses MORE HBM than the unrolled graph (measured: the 12+12 b16
-        # flagship OOMs at 34.9G vs the 15.75G chip) — the scanned body
-        # always remats, defaulting to the cheap 'dots' policy
-        scan_remat = self.remat if self.remat else "dots"
-        if self.scan_layers:
-            words = scanned_stack(
-                LanguageEncoder, self.num_encoders, lang_kwargs,
-                name="languageEncoders_scan", n_ctx=1, remat=scan_remat)(
-                    words, attention_mask, deterministic)
-        else:
-            for i in range(self.num_encoders):
-                words = LangEnc(**lang_kwargs,
-                                name=f"languageEncoders_{i}")(
-                                    words, attention_mask, deterministic)
+        # flagship OOMs at 34.9G vs the 15.75G chip) — _lang_tower's scanned
+        # body always remats, defaulting to the cheap 'dots' policy
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, norm="layer",
+            ff_norm2="rms", init_style="xavier", flash=flash_text,
+            dtype=self.dtype), attention_mask, deterministic)
         # (b*l, s, d) -> (b, l, d, s), zero-pad seq to seq_len
         words = words.reshape(b, lag, s, self.text_dim).transpose(0, 1, 3, 2)
         if s < self.seq_len:
@@ -138,19 +124,10 @@ class meant_src(nn.Module):
         patch_dim = self.channels * self.patch_res ** 2
         imgs = Linear(self.image_dim, patch_dim, init_style="torch",
                       dtype=self.dtype, name="patchEmbed")(imgs)
-        vis_kwargs = dict(
+        imgs = _vision_tower(imgs, self, dict(
             dim=self.image_dim, num_heads=self.num_heads, norm="layer",
             ff_norm2="rms", init_style="xavier", flash=flash_vision,
-            dtype=self.dtype)
-        if self.scan_layers:
-            imgs = scanned_stack(
-                VisionEncoder, self.num_encoders, vis_kwargs,
-                name="visionEncoders_scan", remat=scan_remat)(
-                    imgs, deterministic)
-        else:
-            for i in range(self.num_encoders):
-                imgs = VisEnc(**vis_kwargs,
-                              name=f"visionEncoders_{i}")(imgs, deterministic)
+            dtype=self.dtype), deterministic)
         n = imgs.shape[1]
         imgs = imgs.reshape(b, lag, n, self.image_dim).transpose(0, 1, 3, 2)
         imgs = SeqProjection(n, fixed=self.fixed_proj, dtype=self.dtype,

@@ -174,11 +174,59 @@ def test_cli_plumbs_scan_layers_and_remat():
     args = base_parser().parse_args(
         ["-rid", "t", "-mn", "meant", "--remat"])
     assert build_model(args).remat == "full"
+    # the other deep-tower models plumb the flags too
+    args = base_parser().parse_args(
+        ["-rid", "t", "-mn", "meant_tweet", "--scan_layers"])
+    assert build_model(args).scan_layers is True
     # unsupported model refuses loudly rather than silently ignoring
     args = base_parser().parse_args(
-        ["-rid", "t", "-mn", "meant_vision", "--scan_layers"])
+        ["-rid", "t", "-mn", "meant_timesformer", "--scan_layers"])
     with pytest.raises(SystemExit):
         build_model(args)
+
+
+def test_other_models_scan_matches_unrolled():
+    # every deep-tower model dispatches through the same _lang_tower/
+    # _vision_tower helpers; cover each constructor + the mask=None
+    # broadcast-ctx case (meant_tweet_no_lag / meantPrice / meant_vqa)
+    from meant_tpu.models.meant import (meant, meantPrice, meant_tweet,
+                                        meant_tweet_no_lag, meant_vision,
+                                        meant_vqa)
+
+    rng = np.random.RandomState(3)
+    tweets_lag = rng.randint(0, 100, size=(B, LAG, S)).astype(np.int32)
+    tweets_flat = rng.randint(0, 100, size=(B, S)).astype(np.int32)
+    imgs_lag = rng.randn(B, LAG, 4, 32, 32).astype(np.float32)
+    img_flat = rng.randn(B, 4, 32, 32).astype(np.float32)
+    prices = rng.randn(B, LAG, 4).astype(np.float32)
+    geo = dict(num_heads=4, num_encoders=N_ENC, embedding=TINY_EMB)
+
+    cases = [
+        (meant(32, 32, 4, 32, 32, 16, LAG, 2, channels=4, **geo),
+         ("languageEncoders", "visionEncoders"), (tweets_lag, imgs_lag)),
+        (meant_vision(32, 4, 32, 32, 16, LAG, 2, num_heads=4,
+                      num_encoders=N_ENC),
+         ("visionEncoders",), (imgs_lag,)),
+        (meant_tweet(32, 4, LAG, 2, **geo),
+         ("languageEncoders",), (tweets_lag,)),
+        (meant_tweet_no_lag(32, 4, 32, 32, 16, 2, **geo),
+         ("languageEncoders",), (tweets_flat,)),
+        (meantPrice(32, 32, 4, 32, 32, 16, LAG, 2, **geo),
+         ("languageEncoders", "visionEncoders"),
+         (tweets_lag, imgs_lag, prices)),
+        (meant_vqa(32, 32, 4, 32, 32, 16, 1, 2, **geo),
+         ("languageEncoders", "visionEncoders"), (tweets_flat, img_flat)),
+    ]
+    for model, prefixes, inputs in cases:
+        variables = model.init(jax.random.PRNGKey(0), *inputs)
+        ref = model.apply(variables, *inputs)
+        p = variables["params"]
+        for prefix in prefixes:
+            p = stack_encoder_params(p, prefix, N_ENC)
+        out = model.clone(scan_layers=True).apply({"params": p}, *inputs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5,
+            err_msg=type(model).__name__)
 
 
 def test_pretrainers_scan_matches_unrolled():
