@@ -45,6 +45,7 @@ def main(argv=None):
         channels=images.shape[1], height=images.shape[2],
         width=images.shape[3], image_dim=args.image_dim,
         num_heads=args.num_heads, flash=args.flash,
+        scan_layers=args.scan_layers, remat=args.remat,
         dtype=jnp.bfloat16 if args.bf16 else None)
     trainer = mim_pretrainer({
         "model": model, "model_name": "meant_vision_pretrainer",

@@ -60,6 +60,7 @@ def main(argv=None):
     model = meant_language_pretrainer(
         num_encoders=args.num_encoders, embedding=emb,
         text_dim=args.text_dim, num_heads=args.num_heads, flash=args.flash,
+        scan_layers=args.scan_layers, remat=args.remat,
         dtype=jnp.bfloat16 if args.bf16 else None)
     trainer = mlm_pretrainer({
         "model": model, "model_name": "meant_language_pretrainer",
