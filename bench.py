@@ -78,9 +78,12 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
         "attention_masks": np.ones((b, lag, s), np.float32),
         "y": rng.randint(0, 2, size=(b,)).astype(np.int32),
     }
+    # the label records the config that actually RAN: a scanned tower always
+    # remats (models/meant._lang_tower defaults the policy to 'dots')
+    eff_remat = remat if remat else ("dots" if scan_layers else False)
     metric = (f"TempStockLarge(src meant-{num_encoders}) train "
               f"samples/sec/chip (s={s} full padding, bf16, flash"
-              + (f", remat={remat}" if remat else "")
+              + (f", remat={eff_remat}" if eff_remat else "")
               + (", scan_layers" if scan_layers else "") + ")")
     return model, "meant_src", data, b, metric
 

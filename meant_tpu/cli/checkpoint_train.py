@@ -14,7 +14,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from meant_tpu.cli.common import base_parser
+from meant_tpu.cli.common import base_parser, reject_stack_flags
 from meant_tpu.data import ArrayLoader
 from meant_tpu.parallel import make_mesh
 from meant_tpu.train import checkpoint as ckpt
@@ -37,6 +37,7 @@ def load_data(args):
 
 def main(argv=None):
     args = base_parser().parse_args(argv)
+    reject_stack_flags(args, "checkpoint_train")
     data = load_data(args)
     n_val = max(len(data["labels"]) // 10, args.train_batch_size)
     train = {k: v[n_val:] for k, v in data.items()}

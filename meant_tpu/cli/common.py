@@ -169,6 +169,15 @@ def embedding_from_config(name: str):
         dropout=cfg.get("hidden_dropout_prob", 0.1))
 
 
+def reject_stack_flags(args, harness: str):
+    """--scan_layers/--remat apply to meant-family towers only; harnesses
+    that build HF-backbone models refuse rather than silently ignore (the
+    run record must never claim a config the model didn't use)."""
+    if getattr(args, "scan_layers", False) or getattr(args, "remat", False):
+        raise SystemExit(f"--scan_layers/--remat are not supported by the "
+                         f"{harness} harness (no meant-family towers)")
+
+
 def build_model(args, emb_cfg=None):
     """Model registry keyed by the reference's --model_name values
     (`in_loop_train.py:440-541`, `src/trainer.py:409-755`)."""

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from meant_tpu.cli.common import base_parser, str2bool
+from meant_tpu.cli.common import base_parser, str2bool, reject_stack_flags
 from meant_tpu.cli.pretrain_mlm import load_text
 from meant_tpu.data import ArrayLoader, hash_tokenize
 from meant_tpu.data.masking import mask_tokens
@@ -75,6 +75,7 @@ class hug_mlm_pretrainer(_BasePretrainer):
 
 def main(argv=None):
     args = hug_parser().parse_args(argv)
+    reject_stack_flags(args, "hug_pretrain_mlm")
     texts = load_text(args)
     vocab_size, pad_id = args.vocab_size, 1
     mask_id = vocab_size - 1

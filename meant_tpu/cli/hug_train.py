@@ -31,7 +31,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from meant_tpu.cli.common import (base_parser, load_config,
-                                  split_train_val_test)
+                                  reject_stack_flags, split_train_val_test)
 from meant_tpu.cli.in_loop_genia import _encode_word_level, load_data
 from meant_tpu.data import ArrayLoader
 from meant_tpu.native import fnv1a_tokenize
@@ -133,6 +133,7 @@ def load_sequence_data(args):
 
 def main(argv=None):
     args = hug_parser().parse_args(argv)
+    reject_stack_flags(args, "hug_train")
 
     if args.task == "token_classification":
         model, cfg, num_labels = build_from_config(args)

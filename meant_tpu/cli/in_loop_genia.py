@@ -18,7 +18,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from meant_tpu.cli.common import base_parser, split_train_val_test
+from meant_tpu.cli.common import base_parser, split_train_val_test, reject_stack_flags
 from meant_tpu.data import ArrayLoader
 from meant_tpu.native import fnv1a_tokenize
 from meant_tpu.parallel import make_mesh
@@ -85,6 +85,7 @@ def load_data(args):
 
 def main(argv=None):
     args = genia_parser().parse_args(argv)
+    reject_stack_flags(args, "in_loop_genia")
     data = load_data(args)
     train, val, test = split_train_val_test(data)
     model = TokenClassifier(

@@ -11,7 +11,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from meant_tpu.cli.common import base_parser
+from meant_tpu.cli.common import base_parser, reject_stack_flags
 from meant_tpu.data import ArrayLoader
 from meant_tpu.models import bertweet_wrapper
 from meant_tpu.native import fnv1a_tokenize
@@ -42,6 +42,7 @@ def load_data(args):
 
 def main(argv=None):
     args = base_parser().parse_args(argv)
+    reject_stack_flags(args, "tweet_eval")
     data = load_data(args)
     model = bertweet_wrapper(
         input_dim=args.text_dim, output_dim=args.num_classes,

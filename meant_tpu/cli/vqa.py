@@ -62,6 +62,7 @@ def main(argv=None):
                       args.num_classes, embedding=emb, flash=args.flash,
                       num_heads=args.num_heads,
                       num_encoders=args.num_encoders,
+                      scan_layers=args.scan_layers, remat=args.remat,
                       dtype=jnp.bfloat16 if args.bf16 else None)
     trainer = vqa_trainer({
         "model": model, "model_name": args.model_name, "dataset": "vqa",

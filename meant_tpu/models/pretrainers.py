@@ -22,10 +22,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from meant_tpu import ops
-from meant_tpu.models.meant import EmbeddingConfig, _embedding
-from meant_tpu.nn.encoders import LanguageEncoder, VisionEncoder
+from meant_tpu.models.meant import (EmbeddingConfig, _embedding,
+                                    _lang_tower, _vision_tower)
 from meant_tpu.nn.layers import Linear, gelu, make_norm
-from meant_tpu.nn.stack import maybe_remat, scanned_stack
 
 
 class RobertaLMHead(nn.Module):
@@ -65,20 +64,9 @@ class meant_language_pretrainer(nn.Module):
                  deterministic: bool = True):
         x = _embedding(self.embedding, self.dtype)(
             words, deterministic=deterministic)
-        kwargs = dict(dim=self.text_dim, num_heads=self.num_heads,
-                      flash=self.flash, dtype=self.dtype)
-        if self.scan_layers:
-            x = scanned_stack(
-                LanguageEncoder, self.num_encoders, kwargs,
-                name="languageEncoders_scan", n_ctx=1,
-                remat=self.remat if self.remat else "dots")(
-                    x, attention_mask, deterministic)
-        else:
-            Enc = maybe_remat(LanguageEncoder, self.remat,
-                              static_argnums=(3,))
-            for i in range(self.num_encoders):
-                x = Enc(**kwargs, name=f"languageEncoders_{i}")(
-                    x, attention_mask, deterministic)
+        x = _lang_tower(x, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, flash=self.flash,
+            dtype=self.dtype), attention_mask, deterministic)
         return RobertaLMHead(self.text_dim, self.embedding.vocab_size,
                              name="mlm_head")(x)
 
@@ -116,19 +104,9 @@ class meant_vision_pretrainer(nn.Module):
         patch_dim = self.channels * self.patch_res ** 2
         x = Linear(self.image_dim, patch_dim, dtype=self.dtype,
                    name="patchEmbed")(x)
-        kwargs = dict(dim=self.image_dim, num_heads=self.num_heads,
-                      flash=self.flash, dtype=self.dtype)
-        if self.scan_layers:
-            x = scanned_stack(
-                VisionEncoder, self.num_encoders, kwargs,
-                name="visionEncoders_scan",
-                remat=self.remat if self.remat else "dots")(
-                    x, deterministic)
-        else:
-            Enc = maybe_remat(VisionEncoder, self.remat, static_argnums=(2,))
-            for i in range(self.num_encoders):
-                x = Enc(**kwargs, name=f"visionEncoders_{i}")(
-                    x, deterministic)
+        x = _vision_tower(x, self, dict(
+            dim=self.image_dim, num_heads=self.num_heads, flash=self.flash,
+            dtype=self.dtype), deterministic)
         b, n, d = x.shape
         hw = math.floor(n ** 0.5)
         fmap = x.transpose(0, 2, 1).reshape(b, d, hw, hw)

@@ -77,29 +77,29 @@ def restore(path: str, target=None):
     return ckptr.restore(path)
 
 
-def _match_encoder_layout(source_params: Dict, key: str) -> Optional[Dict]:
+def _match_encoder_layout(source_params: Dict, key: str,
+                          target_sub) -> Optional[Dict]:
     """Resolve `key`'s subtree from a source that may use the OTHER encoder
     param layout (nn/stack.py): a `<tower>_scan` target grafts from an
-    unrolled `<tower>_{i}` source by stacking, and vice versa by unstacking.
-    Returns None when the source has neither layout."""
-    from meant_tpu.nn.stack import (stack_encoder_params,
-                                    unstack_encoder_params)
+    unrolled `<tower>_{i}` source by stacking the TARGET's depth (a deeper
+    source contributes its first layers, matching the unrolled→unrolled
+    partial-graft semantics), and an unrolled target slices its layer out of
+    a scanned source. Returns None when the source has neither layout."""
+    from meant_tpu.nn.stack import stack_encoder_params
     if key in source_params:
         return source_params[key]
     if key.endswith("_scan"):
         prefix = key[:-len("_scan")]
-        n = 0
-        while f"{prefix}_{n}" in source_params:
-            n += 1
-        if n:
+        n = int(jax.tree.leaves(target_sub)[0].shape[0])
+        if all(f"{prefix}_{i}" in source_params for i in range(n)):
             return stack_encoder_params(source_params, prefix, n)[key]
+        return None
     m = re.fullmatch(r"(.*)_(\d+)", key)
     if m and f"{m.group(1)}_scan" in source_params:
-        prefix = m.group(1)
-        leaves = jax.tree.leaves(source_params[f"{prefix}_scan"])
-        n = int(leaves[0].shape[0])
-        if int(m.group(2)) < n:
-            return unstack_encoder_params(source_params, prefix, n)[key]
+        stacked = source_params[f"{m.group(1)}_scan"]["enc"]
+        i = int(m.group(2))
+        if i < int(jax.tree.leaves(stacked)[0].shape[0]):
+            return jax.tree.map(lambda x: x[i], stacked)
     return None
 
 
@@ -116,10 +116,10 @@ def graft(target_params: Dict, source_params: Dict,
     for key in target_params:
         if not any(key.startswith(p) for p in prefixes):
             continue
-        src = _match_encoder_layout(source_params, key)
+        tgt = target_params[key]
+        src = _match_encoder_layout(source_params, key, tgt)
         if src is None:
             continue
-        tgt = target_params[key]
         # shapes must agree
         jax.tree.map(lambda a, b: None if a.shape == b.shape else
                      (_ for _ in ()).throw(ValueError(

@@ -310,6 +310,23 @@ def test_graft_across_param_layouts(unrolled_and_batch):
     assert float(jnp.sum(jnp.abs(
         jax.tree.leaves(grafted["temporal_encoding_0"])[0]))) == 0.0
 
+    # a DEEPER unrolled source grafts its FIRST layers into a shallower
+    # scanned target — same partial-graft semantics as unrolled→unrolled
+    shallow = meant_src(
+        text_dim=32, image_dim=32, price_dim=5, height=32, width=32,
+        patch_res=16, lag=LAG, num_classes=2, embedding=TINY_EMB,
+        num_heads=4, num_encoders=2, channels=3, seq_len=S,
+        scan_layers=True)
+    sv = shallow.init(jax.random.PRNGKey(1), **batch)
+    grafted = graft(jax.tree.map(jnp.zeros_like, sv["params"]), unrolled)
+    want = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                        unrolled["languageEncoders_0"],
+                        unrolled["languageEncoders_1"])
+    for a, b in zip(jax.tree.leaves(
+            grafted["languageEncoders_scan"]["enc"]),
+            jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_scanned_dropout_trains(unrolled_and_batch):
     # non-deterministic path: per-layer dropout rngs split, loss finite,
