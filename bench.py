@@ -90,17 +90,24 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
 
 def build_src_bucketed(batch: int = 16, n: int = 256,
                        fixed_proj: bool = False, remat=False,
-                       scan_layers: bool = False):
+                       scan_layers: bool = False,
+                       bucket_batches=None):
     """src model fed through the length-bucketed loader with a SIMULATED
     dynamic-length text distribution (uniform 64..512 content tokens) —
     comparable to the reference's dynamic per-batch padding, one jit
-    compile per bucket length."""
+    compile per bucket length. `bucket_batches` (dict bucket->batch)
+    additionally runs short buckets at larger batches — a constant token
+    budget; s=512 keeps the measured b=16 optimum."""
     from meant_tpu.data.loader import BucketedLoader
 
     model, name, data, b, _ = build_src(512, batch, fixed_proj=fixed_proj,
                                         remat=remat,
                                         scan_layers=scan_layers)
     rng = np.random.RandomState(7)
+    b_max = max([b] + list((bucket_batches or {}).values()))
+    # the shortest bucket holds ~14% of uniform-64..512 lengths; 10x the
+    # largest batch keeps every bucket able to fill at least one full batch
+    n = max(n, 10 * b_max)
     n = (n // b) * b   # keep rows == mask rows when b doesn't divide n
     data = {k: np.repeat(v, n // b, axis=0) for k, v in data.items()}
     lengths = rng.randint(64, 513, size=n)
@@ -109,9 +116,10 @@ def build_src_bucketed(batch: int = 16, n: int = 256,
         mask[i, :, :l] = 1
     data["attention_masks"] = mask
     loader = BucketedLoader(data, b, buckets=(128, 256, 384, 512),
-                            shuffle=False)
+                            shuffle=False, bucket_batches=bucket_batches)
     metric = ("TempStockLarge(src meant-12) train samples/sec/chip "
-              "(length-bucketed, simulated uniform 64-512 content, bf16)")
+              "(length-bucketed, simulated uniform 64-512 content, bf16"
+              + (", token-budget batches" if bucket_batches else "") + ")")
     return model, name, loader, b, metric
 
 
@@ -134,6 +142,11 @@ def main():
                          "layer-stacked params: O(1)-in-depth program size "
                          "and compile time (the deep-config lever — "
                          "meant-30 compiles 60 block copies without it)")
+    ap.add_argument("--budget_buckets", action="store_true",
+                    help="with --workload src_bucketed: run short buckets "
+                         "at LARGER batches (constant token budget) instead "
+                         "of one fixed batch — per-bucket sizes from the "
+                         "on-chip sweep in scripts/probe_bucket_batch.py")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--with-input", dest="with_input", action="store_true",
                     help="feed the step through the REAL input pipeline "
@@ -191,6 +204,9 @@ def main():
     if args.uint8_charts and not args.with_input:
         raise SystemExit("--uint8_charts only applies to the real input "
                          "pipeline; pass --with-input")
+    if args.budget_buckets and args.workload != "src_bucketed":
+        raise SystemExit("--budget_buckets is a bucketed-loader policy; "
+                         "pass --workload src_bucketed")
     if args.mu_bf16 and args.eval_mode:
         raise SystemExit("--mu_bf16 changes optimizer-state dtype; the eval "
                          "step runs no optimizer")
@@ -203,7 +219,9 @@ def main():
     elif args.workload == "src_bucketed":
         model, name, loader, b, metric = build_src_bucketed(
             batch=args.batch or 16, fixed_proj=args.fixed_proj,
-            remat=args.remat, scan_layers=args.scan_layers)
+            remat=args.remat, scan_layers=args.scan_layers,
+            bucket_batches=BUDGET_BUCKET_BATCHES if args.budget_buckets
+            else None)
     elif args.workload == "src512_large":
         # the paper's Table-1 98.57% geometry (30+30 encoders,
         # `meant_tex.pdf`) on the src-era s=512 workload
@@ -281,24 +299,29 @@ def main():
         # overlaps it with compute either way). Staging every batch OOMs
         # HBM next to params+opt state, so one exemplar per shape stands in.
         per_bucket = {}
+        bucket_rows = {}
         sequence = []
         for hb in loader:
             s_b = hb["input_ids"].shape[-1]
             if s_b not in per_bucket:
                 per_bucket[s_b] = trainer._device_batch(hb)
+                bucket_rows[s_b] = len(hb["y"])
             sequence.append(s_b)
         for db in per_bucket.values():   # compile each bucket shape
             trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
         float(loss)
-        steps = 0
+        steps = samples = 0
         t0 = time.perf_counter()
         for _ in range(2):
             for s_b in sequence:
                 trainer.state, loss, cm = trainer._jit_train(
                     trainer.state, per_bucket[s_b])
                 steps += 1
+                samples += bucket_rows[s_b]   # batches vary per bucket
+                # under --budget_buckets; count rows, not steps*b
         float(loss)
         dt = time.perf_counter() - t0
+        b = samples / steps   # make the shared steps*b/dt tail exact
     elif args.eval_mode:
         db = dict(trainer._device_batch(batch))
         db.setdefault("_weight", jnp.ones((b,), jnp.float32))

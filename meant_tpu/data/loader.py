@@ -152,17 +152,27 @@ class BucketedLoader:
 
     `length_key` names the (b, lag, s) {0,1} mask whose per-example content
     length (max over lag days) assigns buckets; `seq_keys` are the arrays
-    whose last axis gets sliced."""
+    whose last axis gets sliced.
+
+    `bucket_batches` optionally maps bucket length -> batch size, so short
+    buckets can run LARGER batches (a constant token budget): a fixed batch
+    tuned for the longest bucket underutilizes the chip at short lengths,
+    while s=512 itself must stay small (HBM pressure — see the perf ledger's
+    batch sweeps). Buckets without an entry use `batch_size`. One compile
+    per (bucket, batch) shape, as before. On a DP mesh every bucket's batch
+    must stay divisible by the data-axis size (shard_batch splits the
+    leading dim)."""
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
                  seq_keys=("input_ids", "tweets", "attention_masks"),
                  length_key: str = "attention_masks",
                  buckets=(128, 256, 384, 512), shuffle: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, bucket_batches: Dict[int, int] = None):
         sizes = {k: len(v) for k, v in arrays.items()}
         assert len(set(sizes.values())) == 1, f"ragged arrays: {sizes}"
         self.arrays = arrays
         self.batch_size = batch_size
+        self.bucket_batches = dict(bucket_batches or {})
         self.seq_keys = [k for k in seq_keys if k in arrays]
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
@@ -181,13 +191,17 @@ class BucketedLoader:
         self.index = {b: np.flatnonzero(self.assignment == b)
                       for b in self.buckets}
 
+    def _bucket_bs(self, bucket: int) -> int:
+        return int(self.bucket_batches.get(bucket, self.batch_size))
+
     def __len__(self):
-        return sum(len(ix) // self.batch_size for ix in self.index.values())
+        return sum(len(ix) // self._bucket_bs(b)
+                   for b, ix in self.index.items())
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        bs = self.batch_size
         plan = []
         for b, ix in self.index.items():
+            bs = self._bucket_bs(b)
             ix = ix.copy()
             if self.shuffle:
                 self.rng.shuffle(ix)
@@ -202,5 +216,5 @@ class BucketedLoader:
                 if k in self.seq_keys:
                     out = out[..., :bucket]
                 batch[k] = out
-            batch["_weight"] = np.ones((bs,), np.float32)
+            batch["_weight"] = np.ones((len(sel),), np.float32)
             yield batch

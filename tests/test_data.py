@@ -198,6 +198,34 @@ class TestBucketedLoader:
         total = sum(1 for _ in loader)
         assert total == len(loader)
 
+    def test_per_bucket_batch_sizes(self):
+        """bucket_batches: short buckets draw LARGER batches (constant token
+        budget); unlisted buckets fall back to batch_size; _weight matches
+        each batch's actual row count."""
+        from meant_tpu.data.loader import BucketedLoader
+        arrays, lengths = self._arrays(n=64)
+        loader = BucketedLoader(arrays, 4, buckets=(128, 256, 384, 512),
+                                bucket_batches={128: 8, 256: 6})
+        seen_bs = {}
+        n_batches = 0
+        for batch in loader:
+            s = batch["input_ids"].shape[-1]
+            bs = len(batch["y"])
+            assert batch["_weight"].shape == (bs,)
+            seen_bs.setdefault(s, set()).add(bs)
+            n_batches += 1
+        assert n_batches == len(loader)
+        assert seen_bs[128] == {8} and seen_bs[256] == {6}
+        for s in (384, 512):
+            if s in seen_bs:
+                assert seen_bs[s] == {4}
+        # every bucket's full batches are all yielded
+        counts = {128: 8, 256: 6, 384: 4, 512: 4}
+        assign = loader.assignment
+        want = sum(int((assign == b).sum()) // counts[b]
+                   for b in (128, 256, 384, 512))
+        assert n_batches == want
+
 
 def test_prefetcher_workers_preserve_order_and_values():
     """Multi-worker Prefetcher: parallel host assembly, ORDERED delivery,
