@@ -34,6 +34,13 @@ BASELINE_SAMPLES_PER_SEC = 23.0
 # the s=512 number would overstate them (VERDICT r2 "What's weak" #5).
 BASELINED_WORKLOADS = ("src512", "src_bucketed")
 
+# Per-bucket batch sizes for --budget_buckets (constant-token-budget
+# batching: short buckets run LARGER batches). Sizes must come from the
+# on-chip sweep in scripts/probe_bucket_batch.py — None means the probe
+# data has not been captured for this checkout, and the flag refuses to
+# run rather than emit a measurement under an unmeasured config.
+BUDGET_BUCKET_BATCHES = None
+
 
 def build_paper128():
     from meant_tpu.models import EmbeddingConfig, meant
@@ -88,16 +95,43 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
     return model, "meant_src", data, b, metric
 
 
+def sample_hist_lengths(hist_path: str, n: int, rng, s_max: int = 512):
+    """Draw n content lengths from a length-histogram JSON file: keys are
+    a length ("87") or an inclusive range ("64-128"), values are example
+    counts/mass for that key (uniform within a range). This is the hook
+    that makes the bucketed workload exact the day real TempStock/Stocknet
+    data lands: histogram the real lengths, write the file, re-run."""
+    with open(hist_path) as f:
+        hist = json.load(f)
+    if not hist:
+        raise SystemExit(f"length histogram {hist_path} is empty")
+    lo, hi, w = [], [], []
+    for k, v in hist.items():
+        a, _, c = str(k).partition("-")
+        lo.append(int(a))
+        hi.append(int(c) if c else int(a))
+        w.append(float(v))
+    lo, hi, w = np.asarray(lo), np.asarray(hi), np.asarray(w)
+    if (lo > hi).any() or lo.min() < 1 or (w < 0).any() or w.sum() <= 0:
+        raise SystemExit(f"malformed length histogram {hist_path}")
+    bins = rng.choice(len(w), size=n, p=w / w.sum())
+    width = hi[bins] - lo[bins] + 1
+    return (lo[bins] + (rng.rand(n) * width).astype(int)).clip(1, s_max)
+
+
 def build_src_bucketed(batch: int = 16, n: int = 256,
                        fixed_proj: bool = False, remat=False,
                        scan_layers: bool = False,
-                       bucket_batches=None):
+                       bucket_batches=None, length_hist: str = None):
     """src model fed through the length-bucketed loader with a SIMULATED
-    dynamic-length text distribution (uniform 64..512 content tokens) —
-    comparable to the reference's dynamic per-batch padding, one jit
-    compile per bucket length. `bucket_batches` (dict bucket->batch)
-    additionally runs short buckets at larger batches — a constant token
-    budget; s=512 keeps the measured b=16 optimum."""
+    dynamic-length text distribution — comparable to the reference's
+    dynamic per-batch padding, one jit compile per bucket length. The
+    default draws uniform 64..512 content tokens
+    (meant_tpu/configs/length_hist_uniform64_512.json as a file); pass
+    `length_hist` to sample the buckets from a real measured histogram
+    instead. `bucket_batches` (dict bucket->batch) additionally runs short
+    buckets at larger batches — a constant token budget; s=512 keeps the
+    measured b=16 optimum."""
     from meant_tpu.data.loader import BucketedLoader
 
     model, name, data, b, _ = build_src(512, batch, fixed_proj=fixed_proj,
@@ -110,24 +144,136 @@ def build_src_bucketed(batch: int = 16, n: int = 256,
     n = max(n, 10 * b_max)
     n = (n // b) * b   # keep rows == mask rows when b doesn't divide n
     data = {k: np.repeat(v, n // b, axis=0) for k, v in data.items()}
-    lengths = rng.randint(64, 513, size=n)
+    if length_hist:
+        lengths = sample_hist_lengths(length_hist, n, rng)
+    else:
+        lengths = rng.randint(64, 513, size=n)
     mask = np.zeros((n, 5, 512), np.float32)
     for i, l in enumerate(lengths):
         mask[i, :, :l] = 1
     data["attention_masks"] = mask
     loader = BucketedLoader(data, b, buckets=(128, 256, 384, 512),
                             shuffle=False, bucket_batches=bucket_batches)
+    # a bucket too thin to fill one batch would be silently dropped from
+    # the epoch and the metric would quietly measure a different length mix
+    thin = {bk: len(ix) for bk, ix in loader.index.items()
+            if len(ix) < loader._bucket_bs(bk)}
+    if thin:
+        raise SystemExit(
+            f"buckets {thin} cannot fill one full batch (n={n}); raise "
+            f"--steps/n or rebalance the histogram so the measured mix "
+            f"is the labeled mix")
+    dist = ("measured histogram %s" % length_hist.rsplit("/", 1)[-1]
+            if length_hist else "simulated uniform 64-512 content")
     metric = ("TempStockLarge(src meant-12) train samples/sec/chip "
-              "(length-bucketed, simulated uniform 64-512 content, bf16"
+              f"(length-bucketed, {dist}, bf16"
               + (", token-budget batches" if bucket_batches else "") + ")")
     return model, name, loader, b, metric
+
+
+def build_mlm(batch: int = 16, remat=False, scan_layers: bool = False,
+              num_encoders: int = 12):
+    """MLM pretraining at bertweet geometry — the reference's second
+    workload family (`pretrain_mlm.py:317-321`: bertweet RobertaEmbeddings
+    -> 12 languageEncoders -> tied RobertaLMHead; vocab 64001, s=128
+    tweets, CE over the vocabulary with -100 ignore, batch 16 default).
+    No A100 pretraining rate exists in the reference logs ->
+    vs_baseline null."""
+    from meant_tpu.data.masking import mask_tokens
+    from meant_tpu.models import EmbeddingConfig
+    from meant_tpu.models.pretrainers import meant_language_pretrainer
+
+    b, s = batch, 128
+    model = meant_language_pretrainer(
+        num_encoders=num_encoders, embedding=EmbeddingConfig(),
+        text_dim=768, num_heads=8, scan_layers=scan_layers, remat=remat,
+        dtype=jnp.bfloat16)   # s=128 text: XLA attention beats the flash
+    # kernel below the 256-length threshold (perf ledger), so flash stays off
+    rng = np.random.RandomState(0)
+    ids = rng.randint(4, 64000, size=(b, s))
+    inputs, labels = mask_tokens(ids, mask_token_id=64000,
+                                 special_ids=(0, 1, 2), seed=1)
+    data = {"input_ids": inputs.astype(np.int32),
+            "attention_mask": np.ones((b, s), np.float32),
+            "labels": labels.astype(np.int32)}
+    eff_remat = remat if remat else ("dots" if scan_layers else False)
+    metric = (f"MLM pretrain (meant_language_pretrainer-{num_encoders}, "
+              f"bertweet geometry vocab 64001, s={s}, tied head, bf16"
+              + (f", remat={eff_remat}" if eff_remat else "")
+              + (", scan_layers" if scan_layers else "")
+              + ") train samples/sec/chip")
+    return "mlm", model, data, b, metric
+
+
+def build_mim(batch: int = 16, remat=False, scan_layers: bool = False,
+              num_encoders: int = 12):
+    """MIM pretraining at TempStock chart geometry (`pretrain_mim.py:
+    337-339`: patchEmbed -> visionEncoders -> ViT-MIM conv decoder;
+    4-channel 224² charts, L1-on-markers loss — DEFECTS #30). Runs the
+    REQUESTED depth: the reference silently builds ONE encoder at any
+    -nec (DEFECTS #29), so its own MIM compute was always depth-1.
+    vs_baseline null (no reference pretraining rate exists)."""
+    from meant_tpu.data.masking import mask_image
+    from meant_tpu.models.pretrainers import meant_vision_pretrainer
+
+    b = batch
+    model = meant_vision_pretrainer(
+        num_encoders=num_encoders, patch_res=16, channels=4, height=224,
+        width=224, image_dim=768, num_heads=8, scan_layers=scan_layers,
+        remat=remat, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(b, 4, 224, 224).astype(np.float32)
+    inputs, labels = mask_image(imgs, seed=1)
+    data = {"input_ids": inputs, "labels": labels}
+    eff_remat = remat if remat else ("dots" if scan_layers else False)
+    metric = (f"MIM pretrain (meant_vision_pretrainer-{num_encoders} — "
+              f"reference -nec builds 1, DEFECTS #29 — 4x224x224 charts, "
+              f"bf16"
+              + (f", remat={eff_remat}" if eff_remat else "")
+              + (", scan_layers" if scan_layers else "")
+              + ") train samples/sec/chip")
+    return "mim", model, data, b, metric
+
+
+def run_pretrain(kind, model, data, b, steps):
+    """Time the production jitted pretrain step
+    (train/pretrain._BasePretrainer._jit_train: fwd + loss + bwd + clipped
+    AdamW, donated state) on a device-resident batch."""
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.parallel import make_mesh, shard_batch
+    from meant_tpu.train.pretrain import mim_pretrainer, mlm_pretrainer
+
+    cls = mlm_pretrainer if kind == "mlm" else mim_pretrainer
+    tr = cls({
+        "model": model, "model_name": f"meant_{kind}_bench",
+        "train_data": ArrayLoader(data, b), "epochs": 1,
+        "lr": 5e-5, "lrst": "cosine_warm", "run_id": "bench",
+        "mesh": make_mesh(),
+    })
+    batch = next(iter(tr.train_data))
+    tr._init_state(batch)
+    tr._build_steps()
+    db = shard_batch(jax.tree.map(jnp.asarray, dict(batch)), tr.mesh)
+    tr.state, loss = tr._jit_train(tr.state, db)
+    loss_first = float(loss)   # compile barrier (tunnel-safe)
+    for _ in range(2):
+        tr.state, loss = tr._jit_train(tr.state, db)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tr.state, loss = tr._jit_train(tr.state, db)
+    loss_last = float(loss)
+    dt = time.perf_counter() - t0
+    print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
+          f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
+    return steps, dt
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="src512",
                     choices=["src512", "src256", "paper128",
-                             "src_bucketed", "src512_large"])
+                             "src_bucketed", "src512_large", "mlm", "mim"])
     ap.add_argument("--batch", type=int, default=None,
                     help="override the workload's default batch size")
     ap.add_argument("--remat", nargs="?", const="full", default=False,
@@ -147,6 +293,22 @@ def main():
                          "at LARGER batches (constant token budget) instead "
                          "of one fixed batch — per-bucket sizes from the "
                          "on-chip sweep in scripts/probe_bucket_batch.py")
+    ap.add_argument("--length_hist", default=None,
+                    help="with --workload src_bucketed: JSON length "
+                         "histogram ({'len'|'lo-hi': count}) to sample "
+                         "content lengths from instead of the synthetic "
+                         "uniform 64-512 default (which ships as "
+                         "meant_tpu/configs/length_hist_uniform64_512.json)"
+                         " — point this at the real data's histogram to "
+                         "make the bucketed ratio exact")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps "
+                         "(optax.MultiSteps in the trainer): b8 x accum2 "
+                         "emulates b16's optimizer trajectory at b8's HBM "
+                         "high-water mark — the third lever (vs batch and "
+                         "remat) for fitting meant-LARGE at s=512. Each "
+                         "timed step is ONE micro-batch; the optimizer "
+                         "applies every --accum steps")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--with-input", dest="with_input", action="store_true",
                     help="feed the step through the REAL input pipeline "
@@ -207,9 +369,32 @@ def main():
     if args.budget_buckets and args.workload != "src_bucketed":
         raise SystemExit("--budget_buckets is a bucketed-loader policy; "
                          "pass --workload src_bucketed")
+    if args.budget_buckets and BUDGET_BUCKET_BATCHES is None:
+        raise SystemExit("--budget_buckets requires on-chip per-bucket "
+                         "batch sizes: run scripts/probe_bucket_batch.py "
+                         "and record the winners in bench.py's "
+                         "BUDGET_BUCKET_BATCHES")
+    if args.length_hist and args.workload != "src_bucketed":
+        raise SystemExit("--length_hist shapes the bucketed length "
+                         "distribution; pass --workload src_bucketed")
     if args.mu_bf16 and args.eval_mode:
         raise SystemExit("--mu_bf16 changes optimizer-state dtype; the eval "
                          "step runs no optimizer")
+    if args.workload in ("mlm", "mim"):
+        if args.eval_mode or args.with_input or args.fixed_proj \
+                or args.mu_bf16 or args.int8:
+            raise SystemExit("--eval/--with-input/--fixed_proj/--mu_bf16/"
+                             "--int8 are classifier-workload options; the "
+                             "mlm/mim workloads time the pretrain step")
+        kind, model, data, b, metric = (
+            build_mlm if args.workload == "mlm" else build_mim)(
+            batch=args.batch or 16, remat=args.remat,
+            scan_layers=args.scan_layers)
+        steps, dt = run_pretrain(kind, model, data, b, args.steps)
+        per_chip = steps * b / dt / max(len(jax.devices()), 1)
+        print(json.dumps({"metric": metric, "value": round(per_chip, 2),
+                          "unit": "samples/sec/chip", "vs_baseline": None}))
+        return
     if args.workload == "paper128":
         model, name, data, b, metric = build_paper128()
     elif args.workload == "src256":
@@ -221,7 +406,7 @@ def main():
             batch=args.batch or 16, fixed_proj=args.fixed_proj,
             remat=args.remat, scan_layers=args.scan_layers,
             bucket_batches=BUDGET_BUCKET_BATCHES if args.budget_buckets
-            else None)
+            else None, length_hist=args.length_hist)
     elif args.workload == "src512_large":
         # the paper's Table-1 98.57% geometry (30+30 encoders,
         # `meant_tex.pdf`) on the src-era s=512 workload
@@ -246,9 +431,16 @@ def main():
         "num_classes": 2, "lag": 5, "mesh": mesh, "test_model": False,
         "run_id": "bench", "lrst": "constant", "lr": 1e-5,
         "mu_dtype": jnp.bfloat16 if args.mu_bf16 else None,
+        "accumulation_steps": args.accum,
     })
     if args.mu_bf16:
         metric += " [mu_bf16]"
+    baselined = args.workload in BASELINED_WORKLOADS
+    if args.accum > 1:
+        metric += f" [accum={args.accum}]"
+        # per-micro-batch rate at a DIFFERENT effective batch than the
+        # A100 run — a ratio would compare unlike optimizer trajectories
+        baselined = False
     batch = next(iter(trainer.train_loader))
     trainer._init_state(batch)
     trainer._build_steps()
@@ -366,7 +558,7 @@ def main():
     samples_per_sec = steps * b / dt
     per_chip = samples_per_sec / max(n_chips, 1)
     vs = (round(per_chip / BASELINE_SAMPLES_PER_SEC, 3)
-          if args.workload in BASELINED_WORKLOADS and not args.with_input
+          if baselined and not args.with_input
           and not args.eval_mode else None)
     print(json.dumps({
         "metric": metric,

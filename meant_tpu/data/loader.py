@@ -161,13 +161,16 @@ class BucketedLoader:
     batch sweeps). Buckets without an entry use `batch_size`. One compile
     per (bucket, batch) shape, as before. On a DP mesh every bucket's batch
     must stay divisible by the data-axis size (shard_batch splits the
-    leading dim)."""
+    leading dim) — pass that size as `batch_divisor` so an indivisible
+    entry fails HERE instead of as an opaque sharding error inside the
+    jitted train step."""
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
                  seq_keys=("input_ids", "tweets", "attention_masks"),
                  length_key: str = "attention_masks",
                  buckets=(128, 256, 384, 512), shuffle: bool = False,
-                 seed: int = 0, bucket_batches: Dict[int, int] = None):
+                 seed: int = 0, bucket_batches: Dict[int, int] = None,
+                 batch_divisor: int = 1):
         sizes = {k: len(v) for k, v in arrays.items()}
         assert len(set(sizes.values())) == 1, f"ragged arrays: {sizes}"
         self.arrays = arrays
@@ -190,6 +193,21 @@ class BucketedLoader:
                                                     0, len(edges) - 1)]
         self.index = {b: np.flatnonzero(self.assignment == b)
                       for b in self.buckets}
+        # a typo'd key (e.g. {129: 64}) would otherwise be silently ignored
+        # and that bucket would run at the default batch size, mislabeling
+        # any measurement built on it
+        stray = set(self.bucket_batches) - set(self.buckets)
+        if stray:
+            raise ValueError(
+                f"bucket_batches keys {sorted(stray)} are not buckets "
+                f"(buckets resolved to {self.buckets})")
+        bad = {b: self._bucket_bs(b) for b in self.buckets
+               if self._bucket_bs(b) % max(int(batch_divisor), 1)}
+        if bad:
+            raise ValueError(
+                f"per-bucket batch sizes {bad} are not divisible by the "
+                f"data-axis size {batch_divisor}; shard_batch would fail "
+                f"inside the train step")
 
     def _bucket_bs(self, bucket: int) -> int:
         return int(self.bucket_batches.get(bucket, self.batch_size))

@@ -1,6 +1,8 @@
 """Data-engineering tests: MACD/RSI math vs pandas, SMOTE, VQA utilities,
 splits and dataset builders."""
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -225,6 +227,61 @@ class TestBucketedLoader:
         want = sum(int((assign == b).sum()) // counts[b]
                    for b in (128, 256, 384, 512))
         assert n_batches == want
+
+    def test_stray_bucket_batches_key_rejected(self):
+        """A typo'd bucket_batches key must fail construction, not silently
+        run that bucket at the default batch size (ADVICE r3)."""
+        import pytest
+
+        from meant_tpu.data.loader import BucketedLoader
+        arrays, _ = self._arrays()
+        with pytest.raises(ValueError, match="129"):
+            BucketedLoader(arrays, 4, buckets=(128, 256, 384, 512),
+                           bucket_batches={129: 8})
+
+    def test_batch_divisor_enforced(self):
+        """On a DP mesh every per-bucket batch must divide by the data-axis
+        size; an indivisible entry fails at construction (ADVICE r3)."""
+        import pytest
+
+        from meant_tpu.data.loader import BucketedLoader
+        arrays, _ = self._arrays()
+        with pytest.raises(ValueError, match="divisible"):
+            BucketedLoader(arrays, 4, buckets=(128, 256, 384, 512),
+                           bucket_batches={128: 6}, batch_divisor=4)
+        # divisible config constructs fine
+        BucketedLoader(arrays, 4, buckets=(128, 256, 384, 512),
+                       bucket_batches={128: 8}, batch_divisor=4)
+
+
+def test_bench_length_histogram_sampler(tmp_path):
+    """bench.sample_hist_lengths: range + point keys, mass-weighted draw,
+    values clipped to [1, s_max]; the shipped uniform default reproduces
+    the synthetic uniform 64-512 distribution."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import sample_hist_lengths
+
+    rng = np.random.RandomState(0)
+    # skewed-short histogram shaped like real tweet data
+    p = tmp_path / "hist.json"
+    p.write_text(json.dumps({"64-128": 70, "129-256": 25, "400": 5}))
+    lengths = sample_hist_lengths(str(p), 4000, rng)
+    assert lengths.min() >= 64 and lengths.max() <= 400
+    short = (lengths <= 128).mean()
+    assert 0.6 < short < 0.8          # ~70% mass in the short bin
+    assert (lengths == 400).mean() > 0.01
+
+    # the shipped uniform default file covers the full 64-512 range
+    import meant_tpu
+    default = os.path.join(os.path.dirname(meant_tpu.__file__), "configs",
+                           "length_hist_uniform64_512.json")
+    u = sample_hist_lengths(default, 4000, np.random.RandomState(1))
+    assert u.min() >= 64 and u.max() <= 512
+    # uniform 64-512 puts ~half the mass above the midpoint 288
+    assert 0.45 < (u > 288).mean() < 0.55
 
 
 def test_prefetcher_workers_preserve_order_and_values():
