@@ -32,7 +32,13 @@ def load_images(args):
 
 
 def main(argv=None):
-    args = base_parser().parse_args(argv)
+    p = base_parser()
+    p.add_argument("--masked_only", action="store_true",
+                   help="DEFECTS #30 repair: L1 on the MASKED pixels only. "
+                        "Default replicates the reference's nn.L1Loss over "
+                        "labels that still carry -100 at unmasked pixels "
+                        "(pretrain_mim.py:204 — L1 has no ignore_index)")
+    args = p.parse_args(argv)
     images = load_images(args)
     inputs, labels = mask_image(images, seed=0)
     data = {"input_ids": inputs, "labels": labels}
@@ -59,7 +65,7 @@ def main(argv=None):
         "tmax": args.tmax, "optimizer": args.optimizer,
         "file_path": args.file_path, "run_id": args.run_id,
         "num_encoders": args.num_encoders, "track": args.track,
-        "mesh": make_mesh(),
+        "mesh": make_mesh(), "masked_only": args.masked_only,
     })
     t0 = time.time()
     hist = trainer.train()

@@ -10,6 +10,14 @@ meant_vision_pretrainer: patchEmbed -> visionEncoders -> reshape tokens to a
 (b, dim, √n, √n) feature map -> ViT-MIM-style decoder (1x1 conv to
 patch²*3 + pixel shuffle) reconstructing RGB; L1 loss on the first 3 channels
 (`pretrain_mim.py:162,204`).
+
+NOTE DEFECTS #29: the torch meant_vision_pretrainer builds exactly ONE
+visionEncoder no matter what num_encoders says (`pretrain_mim.py:86` —
+`nn.ModuleList([visionEncoder(...)])` ignores the arg, while checkpoints
+are NAMED with num_encoders). Here num_encoders is honored — the MLM twin
+(`pretrain_mlm.py:78`) defines the intent — and assembled-pretrainer parity
+is pinned at depth 1, the only depth the reference can actually produce
+(tests/test_reference_parity.py).
 """
 
 from __future__ import annotations
@@ -28,18 +36,32 @@ from meant_tpu.nn.layers import Linear, gelu, make_norm
 
 
 class RobertaLMHead(nn.Module):
-    """dense -> gelu -> LayerNorm -> decoder(vocab) (HF RobertaLMHead)."""
+    """dense -> gelu -> LayerNorm -> decoder(vocab) (HF RobertaLMHead).
+
+    `shared_kernel`: pass the (vocab, hidden) word-embedding table to TIE
+    the decoder to it (HF `tie_word_embeddings`, the RobertaForMaskedLM
+    default the reference pretrainer assembles from — `pretrain_mlm.py:
+    317-320`); only a decoder_bias param is created. None = untied
+    standalone decoder Linear."""
     hidden_size: int
     vocab_size: int
     layer_norm_eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, shared_kernel=None):
         x = Linear(self.hidden_size, self.hidden_size, dtype=self.dtype,
                    name="dense")(x)
         x = gelu(x)
         x = make_norm("layer", self.hidden_size, "norm")(x)
+        if shared_kernel is not None:
+            bias = self.param("decoder_bias", nn.initializers.zeros,
+                              (self.vocab_size,))
+            k = shared_kernel
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                k = k.astype(self.dtype)
+            return x @ k.T + bias.astype(x.dtype)
         return Linear(self.vocab_size, self.hidden_size, dtype=self.dtype,
                       name="decoder")(x)
 
@@ -53,22 +75,33 @@ class meant_language_pretrainer(nn.Module):
     lag: int = 5
     text_dim: int = 768
     num_heads: int = 8
+    # reference languageEncoder.encode2 uses nn.Dropout() == p=0.5
+    # (`meant/meant.py:107`, DEFECTS #22); 0.0 disables it (fixed mode)
+    ff_dropout: float = 0.5
     # compile-time lever: one lax.scan over layer-stacked encoders
     # (nn/stack.py); remat: False | True/'full' | 'dots'
     scan_layers: bool = False
     remat: Any = False
+    # HF ties lm_head.decoder.weight to the word-embedding table and the
+    # reference assembles its pretrainer from RobertaForMaskedLM, so its
+    # MLM training runs TIED (one shared tensor, summed gradient, one Adam
+    # slot) — trajectory parity requires replicating that. False = untied
+    # standalone decoder.
+    tie_word_embeddings: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, words, attention_mask=None,
                  deterministic: bool = True):
-        x = _embedding(self.embedding, self.dtype)(
-            words, deterministic=deterministic)
+        emb = _embedding(self.embedding, self.dtype)
+        x = emb(words, deterministic=deterministic)
         x = _lang_tower(x, self, dict(
             dim=self.text_dim, num_heads=self.num_heads, flash=self.flash,
-            dtype=self.dtype), attention_mask, deterministic)
+            ff_dropout=self.ff_dropout, dtype=self.dtype),
+            attention_mask, deterministic)
+        shared = emb.word_embeddings if self.tie_word_embeddings else None
         return RobertaLMHead(self.text_dim, self.embedding.vocab_size,
-                             name="mlm_head")(x)
+                             name="mlm_head")(x, shared_kernel=shared)
 
 
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:

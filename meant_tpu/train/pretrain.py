@@ -1,8 +1,9 @@
 """MLM / MIM pretrainers — TPU-native rebuilds of `mlm_pretrainer`
 (`pretrain_mlm.py:96-230`) and `mim_pretrainer` (`pretrain_mim.py:101-230`).
 
-Semantics preserved: CE-over-vocab with -100 ignore for MLM; L1 on the first
-3 channels for MIM (`pretrain_mim.py:162,204` — labels -100 markers excluded);
+Semantics preserved: CE-over-vocab with -100 ignore for MLM; plain L1 on the
+first 3 channels for MIM (`pretrain_mim.py:162,204` — the -100 markers are
+INCLUDED as literal targets, DEFECTS #30; `masked_only=True` repairs);
 grad-clip 1.0; per-epoch scheduler step; val-loss patience early exit; final
 orbax checkpoint (params + optimizer state, the reference saves both).
 
@@ -43,10 +44,19 @@ def mlm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def mim_l1_loss(pred: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """L1 vs labels[:, 0:3] with -100 markers excluded (masked-pixel loss)."""
-    target = labels[:, 0:3]
+def mim_l1_loss(pred: jnp.ndarray, labels: jnp.ndarray,
+                masked_only: bool = False) -> jnp.ndarray:
+    """Reference MIM loss (`pretrain_mim.py:162,204`): plain
+    `nn.L1Loss()(out, labels[:, 0:3])`. The labels carry -100 at UNMASKED
+    pixels (`utils/custom_datasets.py:124`) and L1Loss has NO ignore_index,
+    so the shipped objective regresses ~85% of the reconstruction toward
+    the -100 marker value (DEFECTS #30). Default replicates that observable
+    behavior exactly; `masked_only=True` repairs it (L1 on the masked
+    pixels only — the BEiT/SimMIM-style objective the code intends)."""
+    target = labels[:, 0:3].astype(jnp.float32)
     pred = pred.astype(jnp.float32)
+    if not masked_only:
+        return jnp.mean(jnp.abs(pred - target))
     valid = target != IGNORE_INDEX
     diff = jnp.abs(pred - jnp.where(valid, target, pred))
     return jnp.sum(diff) / jnp.maximum(jnp.sum(valid), 1)
@@ -81,7 +91,10 @@ class _BasePretrainer:
             t0=p.get("t0", 7), tmax=p.get("tmax", 10),
             steps_per_epoch=max(len(self.train_data), 1),
             warmup_steps=p.get("warmup_steps", 0),
-            total_steps=p.get("total_steps", 0))
+            total_steps=p.get("total_steps", 0),
+            # MLM/MIM loops clip at 1.0 (`pretrain_mlm.py:188`); the hug
+            # NER loop does NOT (ner_trainer defaults this to None)
+            clip_norm=p.get("clip_norm", 1.0))
         # optional pretrained sub-tree graft: keys present in init_params
         # override the fresh init (the reference's pretrained-load /
         # encoder-graft workflow, `in_loop_train.py:496-507`)
@@ -211,6 +224,12 @@ class mlm_pretrainer(_BasePretrainer):
 class mim_pretrainer(_BasePretrainer):
     kind = "mim"
 
+    def __init__(self, p: Dict[str, Any]):
+        super().__init__(p)
+        # DEFECTS #30: default False = the reference's L1-on-markers loss;
+        # True = masked-pixel-only repair
+        self.masked_only = p.get("masked_only", False)
+
     def _init_variables(self, rng, batch):
         return self.model.init({"params": rng, "dropout": rng},
                                jnp.asarray(batch["input_ids"]))
@@ -221,4 +240,5 @@ class mim_pretrainer(_BasePretrainer):
                                 deterministic=deterministic, rngs=rngs)
 
     def _loss(self, out, batch):
-        return mim_l1_loss(out, batch["labels"])
+        return mim_l1_loss(out, batch["labels"],
+                           masked_only=self.masked_only)

@@ -247,6 +247,55 @@ def import_meant_vision(sd: Mapping, num_encoders: int) -> Dict:
     return params
 
 
+def import_language_pretrainer(sd: Mapping, num_encoders: int,
+                               tie: bool = True) -> Dict:
+    """`pretrain_mlm.py:74-88` meant_language_pretrainer state_dict ->
+    meant_language_pretrainer params: RobertaEmbeddings (`embedding.0.`),
+    paper-generation languageEncoders, bertweet RobertaLMHead
+    (`mlm_head.`). `tie=True` (the RobertaForMaskedLM default the reference
+    assembles from) carries only the decoder BIAS — the decoder weight IS
+    the word-embedding table on both sides."""
+    if tie:
+        head = {
+            "dense": linear_params(sd, "mlm_head.dense"),
+            "norm": {"scale": _t(sd["mlm_head.layer_norm.weight"]),
+                     "offset": _t(sd["mlm_head.layer_norm.bias"])},
+            "decoder_bias": _t(sd["mlm_head.decoder.bias"]),
+        }
+    else:
+        head = lm_head_params(sd, "mlm_head.")
+    params = {
+        "embedding": roberta_embedding_params(sd, "embedding.0."),
+        "mlm_head": head,
+    }
+    for i in range(num_encoders):
+        params[f"languageEncoders_{i}"] = encoder_params(
+            sd, f"languageEncoders.{i}", norm="rms",
+            xpos_prefix=f"languageEncoders.{i}.encode.2.xPos")
+    return params
+
+
+def import_vision_pretrainer(sd: Mapping, num_encoders: int) -> Dict:
+    """`pretrain_mim.py:77-99` meant_vision_pretrainer state_dict ->
+    meant_vision_pretrainer params. The torch decoder is the ViT-MIM
+    `Sequential(Conv2d(hidden, r²·3, kernel_size=1), PixelShuffle(r))`
+    grafted in at `pretrain_mim.py:339`; its 1x1 conv maps onto our
+    per-position Linear. NOTE DEFECTS #29: the torch __init__ builds ONE
+    visionEncoder regardless of num_encoders — a checkpoint can only ever
+    hold depth 1; pass the depth the checkpoint actually contains."""
+    conv_w = _t(sd["decoder.0.weight"])        # (out, in, 1, 1)
+    params = {
+        "patchEmbed": linear_params(sd, "patchEmbed.1"),
+        "decoder": {"dense": {"kernel": conv_w[:, :, 0, 0].T,
+                              "bias": _t(sd["decoder.0.bias"])}},
+    }
+    for i in range(num_encoders):
+        params[f"visionEncoders_{i}"] = encoder_params(
+            sd, f"visionEncoders.{i}", norm="rms",
+            xpos_prefix=f"visionEncoders.{i}.encode.2.pos_emb")
+    return params
+
+
 def import_meant_tweet_no_lag(sd: Mapping, num_encoders: int) -> Dict:
     """`meant/meant_tweet_no_lag.py` state_dict -> meant_tweet_no_lag params
     (LayerNorm encoder generation, cls token, LayerNorm head)."""

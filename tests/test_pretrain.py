@@ -57,6 +57,30 @@ class TestPixelShuffle:
 
 
 class TestLosses:
+    def test_mim_loss_matches_torch_l1_on_markers(self):
+        """DEFECTS #30: the reference MIM loss is plain nn.L1Loss against
+        labels that still carry -100 at unmasked pixels. Default replicates
+        it bit-for-bit; masked_only=True is the repair (masked pixels
+        only)."""
+        import torch
+        rng = np.random.RandomState(3)
+        imgs = rng.rand(2, 4, 8, 8).astype(np.float32)
+        _, labels = mask_image(imgs, mask_probability=0.3, seed=4)
+        pred = rng.randn(2, 3, 8, 8).astype(np.float32)
+        faithful = float(mim_l1_loss(jnp.asarray(pred), jnp.asarray(labels)))
+        lt = float(torch.nn.L1Loss()(torch.tensor(pred),
+                                     torch.tensor(labels[:, 0:3])))
+        # fp32 reduction-order noise at magnitude ~70 => relative check
+        assert abs(faithful - lt) / lt < 1e-6
+        # the faithful loss is dominated by the ~|pred+100| marker term
+        assert faithful > 50.0
+        repaired = float(mim_l1_loss(jnp.asarray(pred), jnp.asarray(labels),
+                                     masked_only=True))
+        target = labels[:, 0:3]
+        valid = target != IGNORE_INDEX
+        want = np.abs(pred - target)[valid].sum() / valid.sum()
+        assert abs(repaired - want) < 1e-6
+
     def test_mlm_loss_vs_torch(self):
         import torch
         rng = np.random.RandomState(0)

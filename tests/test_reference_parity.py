@@ -30,8 +30,12 @@ from torch import nn
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "meant")),
-                                reason="reference snapshot not mounted")
+pytestmark = [
+    pytest.mark.heavy,  # torch reference oracle
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "meant")),
+        reason="reference snapshot not mounted"),
+]
 
 
 def _install_stubs():
@@ -720,3 +724,100 @@ def test_true_reference_meant12_full_geometry_parity():
                                  jnp.asarray(images), jnp.asarray(mask)))
     diff = np.abs(out - ref_out).max()
     assert diff <= 1e-3, f"MEANT-12 full-geometry parity violated: {diff}"
+
+
+def _stub_pretrain_datasets():
+    """pretrain_mlm/pretrain_mim import `mlm_dataset`/`mim_dataset` from the
+    reference `utils` package at module top (unused by the model classes);
+    the real custom_datasets.py needs the absent `emoji` package, so the
+    names are satisfied on the stub instead."""
+    _install_stubs()
+    stub = sys.modules["utils"]
+    for name in ("mlm_dataset", "mim_dataset"):
+        if not hasattr(stub, name):
+            setattr(stub, name, None)
+
+
+def test_true_reference_language_pretrainer_parity():
+    """ASSEMBLED MLM pretrainer (`pretrain_mlm.py:74-88` +
+    `:317-320`: bertweet RobertaEmbeddings in, bertweet RobertaLMHead out,
+    paper-generation languageEncoders between) vs
+    models/pretrainers.meant_language_pretrainer at ported weights."""
+    _stub_pretrain_datasets()
+    from pretrain_mlm import meant_language_pretrainer as ref_pre
+    from transformers import RobertaConfig, RobertaForMaskedLM
+
+    torch.manual_seed(3)
+    cfg = RobertaConfig(vocab_size=100, hidden_size=768,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0,
+                        num_hidden_layers=1, num_attention_heads=8,
+                        intermediate_size=64, layer_norm_eps=1e-5)
+    bertweet = RobertaForMaskedLM(cfg)
+    ref = ref_pre(2, 768, bertweet.roberta.embeddings,
+                  bertweet.lm_head).eval()
+
+    rng = np.random.RandomState(3)
+    b, s = 2, 16
+    ids = rng.randint(2, 100, size=(b, s)).astype(np.int64)
+    ids[:, 12:] = 1
+    mask = np.ones((b, s), np.float32)
+    mask[:, 12:] = 0
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(ids), torch.tensor(mask)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models import EmbeddingConfig
+    from meant_tpu.models.pretrainers import meant_language_pretrainer
+    from meant_tpu.utils import port
+
+    params = port.import_language_pretrainer(dict(ref.state_dict()), 2)
+    model = meant_language_pretrainer(
+        num_encoders=2,
+        embedding=EmbeddingConfig(vocab_size=100, hidden_size=768,
+                                  max_position_embeddings=40, dropout=0.0),
+        text_dim=768, num_heads=8)
+    out = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(ids.astype(np.int32)),
+                                 jnp.asarray(mask)))
+    assert out.shape == ref_out.shape == (b, s, 100)
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"MLM pretrainer reference parity violated: {diff}"
+
+
+def test_true_reference_vision_pretrainer_parity():
+    """ASSEMBLED MIM pretrainer (`pretrain_mim.py:77-99` + `:337-339`: the
+    HF ViTForMaskedImageModeling decoder grafted behind one visionEncoder)
+    vs models/pretrainers.meant_vision_pretrainer at ported weights. Also
+    pins DEFECTS #29: the torch __init__ ignores num_encoders."""
+    _stub_pretrain_datasets()
+    from pretrain_mim import meant_vision_pretrainer as ref_pre
+    from transformers import ViTConfig, ViTForMaskedImageModeling
+
+    torch.manual_seed(4)
+    vcfg = ViTConfig(hidden_size=768, num_hidden_layers=1,
+                     num_attention_heads=8, intermediate_size=64,
+                     image_size=64, patch_size=16, encoder_stride=16)
+    vit = ViTForMaskedImageModeling(vcfg)
+    ref = ref_pre(3, vit.decoder, 768, patch_res=16, channels=4,
+                  height=64, width=64).eval()
+    # DEFECTS #29: depth 3 requested, exactly ONE encoder built
+    assert len(ref.visionEncoders) == 1
+
+    rng = np.random.RandomState(4)
+    imgs = (rng.randn(2, 4, 64, 64) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(imgs)).numpy()
+
+    import jax.numpy as jnp
+    from meant_tpu.models.pretrainers import meant_vision_pretrainer
+    from meant_tpu.utils import port
+
+    params = port.import_vision_pretrainer(dict(ref.state_dict()), 1)
+    model = meant_vision_pretrainer(num_encoders=1, patch_res=16,
+                                    channels=4, height=64, width=64,
+                                    image_dim=768, num_heads=8)
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(imgs)))
+    assert out.shape == ref_out.shape == (2, 3, 64, 64)
+    diff = np.abs(out - ref_out).max()
+    assert diff <= 1e-3, f"MIM pretrainer reference parity violated: {diff}"
