@@ -976,6 +976,7 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
     if return_lse:
         online = True  # lse is a product of the online forward
 
+    bk = min(int(block_k), s_k) if online else s_k
     if block_q is None:
         # auto q-block sized to a ~4 MB VMEM budget for the fp32 score
         # block. Resident path: the score block is (block_q, s_k); online
@@ -983,10 +984,23 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
         # at any sequence length. Fewer, larger q blocks win decisively
         # (s=512 resident: whole-q 1.6x over 128-row blocks; s=8192
         # streaming grad: bq=1024 2.3x over bq=128 — measured on v5e).
-        k_extent = min(int(block_k), s_k) if online else s_k
+        k_extent = bk if online else s_k
         block_q = max(DEFAULT_BLOCK_Q, (4 * 1024 * 1024) // (4 * k_extent))
+        if online:
+            # The streaming BACKWARD's scoped-VMEM high-water mark holds
+            # TWO (bq, bk) fp32 score blocks (p and ds) plus ~a dozen
+            # double-buffered (bq|bk, d) operand blocks, and the 16 MB
+            # scoped limit is real on hardware: bq=bk=1024 at d=96 aborts
+            # the TPU compile at 16.77 MB (found by scripts/
+            # probe_ring_chip.py — interpret mode never sees VMEM). Cap
+            # the auto bq so the 4*(2*bq*bk + 12*(bq+bk)*d) estimate stays
+            # under 15 MB; at d=64 the cap resolves to the measured-optimal
+            # 1024, so the round-2 streaming defaults are unchanged.
+            cap = (((15 * 1024 * 1024) // 4 - 12 * k_extent * d)
+                   // (2 * k_extent + 12 * d))
+            cap = max(DEFAULT_BLOCK_Q, (cap // 128) * 128)
+            block_q = min(block_q, cap)
     bq = min(int(block_q), s_q)
-    bk = min(int(block_k), s_k) if online else s_k
     if not interpret:
         # TPU lowering: block sublane dims must divide by the dtype tile
         # (16 covers bf16); a non-full kmask row block needs a lane dim
