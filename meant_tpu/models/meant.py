@@ -395,6 +395,8 @@ class meant_vqa(nn.Module):
     channels: int = 4
     scan_layers: bool = False   # nn/stack.py levers
     remat: Any = False
+    # reference languageEncoder.encode2 nn.Dropout() == p=0.5 (DEFECTS #22)
+    ff_dropout: float = 0.5
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -404,7 +406,8 @@ class meant_vqa(nn.Module):
             tweets, deterministic=deterministic)
         words = _lang_tower(words, self, dict(
             dim=self.text_dim, num_heads=self.num_heads, flash=self.flash,
-            dtype=self.dtype), attention_mask, deterministic)
+            ff_dropout=self.ff_dropout, dtype=self.dtype),
+            attention_mask, deterministic)
         imgs = ops.patchify(images, self.patch_res)
         patch_dim = self.channels * self.patch_res ** 2
         imgs = Linear(self.image_dim, patch_dim, dtype=self.dtype,

@@ -23,7 +23,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from meant_tpu.nn.roberta import RobertaModel
+from meant_tpu.data.masking import IGNORE_INDEX
 from meant_tpu.train.pretrain import _BasePretrainer, mlm_loss
+
+
+def ner_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """The reference NER loss CONVENTION (`src/hug/in_loop_genia.py:
+    216-237`, `tweet7.py` same): CrossEntropy is computed PER EXAMPLE
+    (torch's mean over that example's non--100 tokens), collected into
+    batch_loss, then averaged as sum(batch_loss)/batch_size. This differs
+    from one flat mean over all valid tokens (mlm_loss) whenever examples
+    carry different label counts — which subword alignment guarantees.
+    Empty rows (no labeled token) produce nan in torch; guarded to 0 here
+    (alignment always labels the first subword, so the case is synthetic).
+    """
+    logits = logits.astype(jnp.float32)
+    valid = labels != IGNORE_INDEX
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1).squeeze(-1)
+    row_sum = jnp.sum(nll * valid, axis=-1)
+    row_cnt = jnp.sum(valid, axis=-1)
+    row_mean = jnp.where(row_cnt > 0, row_sum / jnp.maximum(row_cnt, 1), 0.0)
+    return jnp.mean(row_mean)
 
 
 def align_labels(word_ids_batch: Sequence[Sequence[Optional[int]]],
@@ -83,12 +105,22 @@ class ner_trainer(_BasePretrainer):
     crf=True drives a `nn.crf.CRFTokenClassifier`: loss is the CRF NLL and
     token_f1 decodes with constrained viterbi (pass `constraint_mask` from
     `bio_constraint_mask`) — the repaired tweet7 --crf path (the reference
-    raises NotImplementedError, `src/hug/tweet7.py:391-392`)."""
+    raises NotImplementedError, `src/hug/tweet7.py:391-392`).
+
+    Loss/optimizer conventions match the reference loop exactly
+    (trajectory-parity tested, tests/test_vqa_ner_parity.py): per-example
+    CE averaged as sum/batch_size (ner_ce_loss; `flat_token_mean=True`
+    opts into the flat all-valid-tokens mean instead) and NO gradient
+    clipping (`in_loop_genia.py:237-240` steps unclipped; pass clip_norm
+    to override)."""
     kind = "ner"
 
     def __init__(self, p):
         self.crf = p.get("crf", False)
         self.constraint_mask = p.get("constraint_mask")
+        self.flat_token_mean = p.get("flat_token_mean", False)
+        p = dict(p)
+        p.setdefault("clip_norm", None)
         super().__init__(p)
 
     def _init_variables(self, rng, batch):
@@ -109,7 +141,9 @@ class ner_trainer(_BasePretrainer):
     def _loss(self, out, batch):
         if self.crf:
             return out[1]
-        return mlm_loss(out, batch["labels"])
+        if self.flat_token_mean:
+            return mlm_loss(out, batch["labels"])
+        return ner_ce_loss(out, batch["labels"])
 
     def token_f1(self, loader, num_labels: int):
         """Macro F1 over labeled (non--100) tokens; CRF models predict via

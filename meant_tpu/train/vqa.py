@@ -65,6 +65,9 @@ class vqa_trainer:
             lr_scheduler=p.get("lrst", "cosine_warm"), t0=p.get("t0", 7),
             tmax=p.get("tmax", 10),
             steps_per_epoch=max(len(self.train_loader), 1))
+        # optional pretrained graft: keys present override the fresh init
+        # (the reference's pretrained-load workflow, `vqa.py:320-327`)
+        self.init_params = p.get("init_params")
         self.state = None
         self._jit_train = None
         self._jit_eval = None
@@ -83,6 +86,9 @@ class vqa_trainer:
             **{k: (jnp.asarray(v) if v is not None else None)
                for k, v in kwargs.items()})
         params = variables["params"]
+        if self.init_params:
+            params = dict(params)
+            params.update(self.init_params)
         tx = build_optimizer(params, **self._opt_kwargs)
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx)
