@@ -4,6 +4,8 @@ CPU; the same kernel compiles on TPU)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # interpret-mode Pallas kernel legs
+
 import jax
 import jax.numpy as jnp
 

@@ -11,6 +11,8 @@ partition the kernel instead of serializing it on every device."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-device SPMD kernel sweeps
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

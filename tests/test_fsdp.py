@@ -12,6 +12,8 @@ latently broken); this is TPU headroom like TP/PP. What must hold:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-device FSDP integration legs
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

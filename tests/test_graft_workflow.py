@@ -4,6 +4,9 @@ meant_tweet classifier, fine-tune (`in_loop_train.py:496-507` +
 `pretrain_mlm.py` chaining)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # pretrain->graft->finetune integration
 
 import jax
 import jax.numpy as jnp

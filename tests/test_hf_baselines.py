@@ -6,6 +6,9 @@ These are the REAL architectures behind the reference's Table-2 baselines
 lookalikes."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # torch transformers oracle
 
 import torch
 

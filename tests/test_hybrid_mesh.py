@@ -6,6 +6,9 @@ is the SEMANTICS — axis order, sharding specs, collective math — which is
 exactly what transfers to hardware (SURVEY §2.7 "optional DCN axis")."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-slice mesh integration legs
 
 import jax
 import jax.numpy as jnp

@@ -2,6 +2,9 @@
 forward(**batch), plus gradient accumulation."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # end-to-end trainer integration legs
 
 from meant_tpu.data import ArrayLoader
 from meant_tpu.models import EmbeddingConfig, meant_src

@@ -1,6 +1,9 @@
 """Eval harness, legacy shard streaming, generic text classifier."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # end-to-end harness smokes
 
 from meant_tpu.data import ArrayLoader
 from meant_tpu.train.text_classify import bce_loss, text_classifier_trainer

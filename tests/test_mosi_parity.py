@@ -28,8 +28,12 @@ from torch import nn
 
 from test_reference_parity import _install_stubs, REF
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "src")),
-                                reason="reference snapshot not mounted")
+pytestmark = [
+    pytest.mark.heavy,  # torch reference oracle
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "src")),
+        reason="reference snapshot not mounted"),
+]
 
 
 def _install_pe_stub():

@@ -2,6 +2,9 @@
 weights. Target: max |Δlogit| <= 1e-3 (BASELINE.json)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # torch-mirror oracle
 
 import jax
 import jax.numpy as jnp

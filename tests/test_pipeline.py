@@ -2,6 +2,9 @@
 gradients must match the sequential layer stack."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-device shard_map pipeline
 
 import jax
 import jax.numpy as jnp

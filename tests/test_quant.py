@@ -13,6 +13,8 @@ at 2x bf16 rate — scripts/probe_int8.py). What must hold:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # int8 + StableHLO export round-trips
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # interpret-mode Pallas ring engine
+
 import jax
 import jax.numpy as jnp
 

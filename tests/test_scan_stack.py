@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # scan/unrolled equivalence sweeps (grads at depth)
+
 from meant_tpu.models.meant import EmbeddingConfig
 from meant_tpu.models.meant_src import meant_src
 from meant_tpu.nn.stack import (stack_encoder_params, unstack_encoder_params)
@@ -178,9 +180,13 @@ def test_cli_plumbs_scan_layers_and_remat():
     args = base_parser().parse_args(
         ["-rid", "t", "-mn", "meant_tweet", "--scan_layers"])
     assert build_model(args).scan_layers is True
-    # unsupported model refuses loudly rather than silently ignoring
+    # timesformer family joined SCAN_MODELS in round 4
     args = base_parser().parse_args(
         ["-rid", "t", "-mn", "meant_timesformer", "--scan_layers"])
+    assert build_model(args).scan_layers is True
+    # unsupported model refuses loudly rather than silently ignoring
+    args = base_parser().parse_args(
+        ["-rid", "t", "-mn", "bertweet", "--scan_layers"])
     with pytest.raises(SystemExit):
         build_model(args)
 
@@ -349,3 +355,140 @@ def test_scanned_dropout_trains(unrolled_and_batch):
     assert np.isfinite(float(loss))
     gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
     assert float(gnorm) > 0.0
+
+
+def _ts_models():
+    from meant_tpu.models.meant_timesformer import (meant_mean_pooling,
+                                                    meant_mosi,
+                                                    meant_timesformer)
+    return meant_timesformer, meant_mean_pooling, meant_mosi
+
+
+def test_timesformer_scan_matches_unrolled():
+    """Standalone TimeSformer: depth rolled into ONE lax.scan over the
+    layers_scan layout == the unrolled loop, fwd + grads, converters
+    round-trip (nn/timesformer.TSBlock + nn/stack.*_timesformer_params)."""
+    from meant_tpu.nn.stack import (stack_timesformer_params,
+                                    unstack_timesformer_params)
+    from meant_tpu.nn.timesformer import TimeSformer
+
+    depth = 3
+    kw = dict(dim=32, num_frames=2, num_classes=2, image_size=16,
+              patch_size=8, channels=3, depth=depth, heads=4, dim_head=8)
+    video = np.random.RandomState(0).randn(2, 2, 3, 16, 16) \
+        .astype(np.float32)
+    un = TimeSformer(**kw)
+    v = un.init(jax.random.PRNGKey(0), video)
+    ref_logits = un.apply(v, video)
+    ref_tokens = un.apply(v, video, return_tokens=True)
+
+    sp = stack_timesformer_params(v["params"], depth)
+    for comp in ("time_attn", "ff"):
+        for leaf in jax.tree.leaves(sp["layers_scan"]["enc"][comp]):
+            assert leaf.shape[0] == depth
+    sc = TimeSformer(**kw, scan_layers=True)
+    # scanned init produces the same structure/shapes as the converted tree
+    init_scan = sc.init(jax.random.PRNGKey(0), video)
+    assert (jax.tree.structure(init_scan["params"])
+            == jax.tree.structure(sp))
+    out_logits = sc.apply({"params": sp}, video)
+    out_tokens = sc.apply({"params": sp}, video, return_tokens=True)
+    np.testing.assert_allclose(np.asarray(out_logits),
+                               np.asarray(ref_logits), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_tokens),
+                               np.asarray(ref_tokens), atol=1e-5, rtol=1e-5)
+
+    # converters round-trip
+    rt = unstack_timesformer_params(sp, depth)
+    assert sorted(rt.keys()) == sorted(v["params"].keys())
+    for a, b in zip(jax.tree.leaves(rt["space_attn_1"]),
+                    jax.tree.leaves(v["params"]["space_attn_1"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # grads through the scanned (always-rematerialized) body == unrolled
+    def loss(model, params):
+        out = model.apply({"params": params}, video)
+        return -jnp.mean(jax.nn.log_softmax(out)[jnp.arange(2),
+                                                 jnp.array([0, 1])])
+
+    g_ref = jax.grad(lambda p: loss(un, p))(v["params"])
+    g_scan = jax.grad(lambda p: loss(sc, p))(sp)
+    g_ref_stacked = stack_timesformer_params(g_ref, depth)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        g_scan, g_ref_stacked)
+
+
+def test_timesformer_family_models_scan_match_unrolled():
+    """meant_timesformer / meant_mean_pooling / meant_mosi with
+    scan_layers=True: language tower AND TimeSformer depth axis scanned,
+    forward == unrolled at converted weights (VERDICT r3 #3)."""
+    from meant_tpu.nn.stack import stack_timesformer_params
+
+    meant_timesformer, meant_mean_pooling, meant_mosi = _ts_models()
+    rng = np.random.RandomState(4)
+    n_enc = 3
+    batch = {
+        "input_ids": rng.randint(0, 100, (B, LAG, S)).astype(np.int32),
+        "pixels": rng.randn(B, LAG, 3, 32, 32).astype(np.float32),
+        "prices": rng.randn(B, LAG, 5).astype(np.float32),
+        "attention_mask": np.ones((B, LAG, S), np.float32),
+    }
+    geo = dict(text_dim=32, image_dim=32, price_dim=5, height=32, width=32,
+               patch_res=16, lag=LAG, num_classes=2, embedding=TINY_EMB,
+               num_heads=4, num_encoders=n_enc, channels=3, seq_len=S)
+    for cls in (meant_timesformer, meant_mean_pooling):
+        un = cls(**geo)
+        v = un.init(jax.random.PRNGKey(0), **batch)
+        ref = un.apply(v, **batch)
+        p = stack_encoder_params(v["params"], "languageEncoders", n_enc)
+        p["timesformer"] = stack_timesformer_params(p["timesformer"], 1)
+        out = cls(**geo, scan_layers=True).apply({"params": p}, **batch)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=cls.__name__)
+
+    # mosi: pre-embedded text, patch-1 TimeSformer at depth=num_encoders
+    mosi_batch = {
+        "input_ids": rng.randn(B, 8, 32).astype(np.float32),
+        "pixels": rng.randn(B, 10, 20).astype(np.float32),
+        "audio": rng.randn(B, 6, 130).astype(np.float32),
+        "audio_mask": np.ones((B, 6), np.float32),
+    }
+    un = meant_mosi(text_dim=32, image_dim=32, lag=10, num_classes=2,
+                    embedding=None, num_heads=4, num_encoders=n_enc)
+    v = un.init(jax.random.PRNGKey(0), **mosi_batch)
+    ref = un.apply(v, **mosi_batch)
+    p = stack_encoder_params(v["params"], "languageEncoders", n_enc)
+    p["timesformer"] = stack_timesformer_params(p["timesformer"], n_enc)
+    out = meant_mosi(text_dim=32, image_dim=32, lag=10, num_classes=2,
+                     embedding=None, num_heads=4, num_encoders=n_enc,
+                     scan_layers=True).apply({"params": p}, **mosi_batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_timesformer_tp_rules_cover_scanned_layout():
+    """to_qkv/to_out enter the megatron rule set; the scanned layers_scan
+    layout shifts them right by one (layer axis replicated)."""
+    from jax.sharding import PartitionSpec as P
+    from meant_tpu.nn.stack import stack_timesformer_params
+    from meant_tpu.nn.timesformer import TimeSformer
+    from meant_tpu.parallel import make_mesh, param_shardings
+
+    ts = TimeSformer(dim=32, num_frames=2, num_classes=2, image_size=16,
+                     patch_size=8, channels=3, depth=2, heads=4, dim_head=8)
+    video = np.zeros((1, 2, 3, 16, 16), np.float32)
+    v = ts.init(jax.random.PRNGKey(0), video)
+    mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+    un = param_shardings(v["params"], mesh)
+    assert un["time_attn_0"]["to_qkv"]["kernel"].spec == P(None, "model")
+    assert un["time_attn_0"]["to_out"]["kernel"].spec == P("model", None)
+    sp = stack_timesformer_params(v["params"], 2)
+    sc = param_shardings(sp, mesh)
+    enc = sc["layers_scan"]["enc"]
+    assert enc["time_attn"]["to_qkv"]["kernel"].spec \
+        == P(None, None, "model")
+    assert enc["time_attn"]["to_out"]["kernel"].spec \
+        == P(None, "model", None)

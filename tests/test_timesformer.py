@@ -1,6 +1,9 @@
 """TimeSformer + timesformer-family model tests."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # full timesformer-family forward sweeps
 
 import jax
 import jax.numpy as jnp

@@ -38,9 +38,12 @@ import test_reference_parity as trp
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "meant")),
-    reason="reference snapshot not mounted")
+pytestmark = [
+    pytest.mark.heavy,  # torch reference training oracle
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "meant")),
+        reason="reference snapshot not mounted"),
+]
 
 # B=8 shards cleanly over the conftest's 8-device CPU mesh (the tpu side
 # runs the production DP train step); 6 epochs x 2 batches = 12 steps.
