@@ -206,7 +206,8 @@ def build_model(args, emb_cfg=None):
     scan_layers = bool(getattr(args, "scan_layers", False))
     remat = getattr(args, "remat", False)
     SCAN_MODELS = ("meant", "meant_src", "meant_vision", "meant_tweet",
-                   "meant_tweet_no_lag", "meantPrice", "meant_vqa")
+                   "meant_tweet_no_lag", "meantPrice", "meant_vqa",
+                   "meant_timesformer", "meant_mean_pooling", "meant_mosi")
     if (scan_layers or remat) and name not in SCAN_MODELS:
         # refuse rather than silently ignore: the run record must never
         # claim a config the model didn't actually use
@@ -246,14 +247,16 @@ def build_model(args, emb_cfg=None):
     if name == "meant_timesformer":
         return meant_timesformer(td, imd, 5, size, size, 16, args.lag,
                                  args.num_classes, embedding=emb,
-                                 flash=args.flash, channels=3, **common)
+                                 flash=args.flash, channels=3, **stack,
+                                 **common)
     if name == "meant_mean_pooling":
         return meant_mean_pooling(td, imd, 5, size, size, 16, args.lag,
                                   args.num_classes, embedding=emb,
-                                  flash=args.flash, channels=3, **common)
+                                  flash=args.flash, channels=3, **stack,
+                                  **common)
     if name == "meant_mosi":
         return meant_mosi(td, imd, lag=50, num_classes=args.num_classes,
-                          embedding=None, **common)
+                          embedding=None, **stack, **common)
     if name == "meant_vqa":
         return meant_vqa(td, imd, 4, size, size, 16, 1, args.num_classes,
                          embedding=emb, flash=args.flash, **stack, **common)

@@ -21,15 +21,16 @@ Pooling quirks replicated faithfully (flags give the fixed behavior):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from meant_tpu.models.meant import EmbeddingConfig, MlpHead, _embedding
+from meant_tpu.models.meant import (EmbeddingConfig, MlpHead, _embedding,
+                                    _lang_tower)
 from meant_tpu.models.meant_src import SeqProjection
-from meant_tpu.nn.encoders import LanguageEncoder, TemporalEncoder
+from meant_tpu.nn.encoders import TemporalEncoder
 from meant_tpu.nn.layers import Linear, gelu, make_norm
 from meant_tpu.nn.timesformer import TimeSformer
 
@@ -67,6 +68,12 @@ class _TimesformerBase(nn.Module):
     channels: int = 3
     seq_len: int = 512
     fixed_proj: bool = False
+    # compile-time lever: lax.scan over layer-stacked params for BOTH depth
+    # axes (languageEncoders via nn/stack.scanned_stack; the TimeSformer's
+    # layers via TimeSformer(scan_layers=True)); remat: False | 'full' |
+    # 'dots' (nn/stack.py)
+    scan_layers: bool = False
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     def _encode_text(self, input_ids, attention_mask, deterministic):
@@ -76,12 +83,10 @@ class _TimesformerBase(nn.Module):
             words, deterministic=deterministic)
         if attention_mask is not None:
             attention_mask = attention_mask.reshape(b * lag, s)
-        for i in range(self.num_encoders):
-            words = LanguageEncoder(
-                self.text_dim, self.num_heads, norm="layer", ff_norm2="rms",
-                init_style="xavier", flash=self.flash, dtype=self.dtype,
-                name=f"languageEncoders_{i}")(
-                    words, attention_mask, deterministic=deterministic)
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, norm="layer",
+            ff_norm2="rms", init_style="xavier", flash=self.flash,
+            dtype=self.dtype), attention_mask, deterministic)
         return words.reshape(b, lag, s, self.text_dim)
 
     def _timesformer(self):
@@ -90,7 +95,8 @@ class _TimesformerBase(nn.Module):
             patch_size=self.patch_res, num_frames=self.lag,
             num_classes=self.num_classes, depth=1, heads=8, dim_head=64,
             attn_dropout=0.1, ff_dropout=0.1, channels=self.channels,
-            flash=self.flash, dtype=self.dtype, name="timesformer")
+            flash=self.flash, scan_layers=self.scan_layers,
+            remat=self.remat, dtype=self.dtype, name="timesformer")
 
 
 class meant_timesformer(_TimesformerBase):
@@ -252,6 +258,9 @@ class meant_mosi(nn.Module):
     num_encoders: int = 1
     seq_len: int = 50
     use_audio_in_fusion: bool = False
+    # compile-time lever, both depth axes (see _TimesformerBase)
+    scan_layers: bool = False
+    remat: Any = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -262,15 +271,12 @@ class meant_mosi(nn.Module):
         if self.embedding is not None:
             words = _embedding(self.embedding, self.dtype)(
                 words, deterministic=deterministic)
-        for i in range(self.num_encoders):
-            # MOSI's languageEncoder builds RotaryEmbedding(dim=30) — not
-            # the usual 48 (`src/meant/meant_mosi.py:109-113`)
-            words = LanguageEncoder(
-                self.text_dim, self.num_heads, norm="layer", ff_norm2="rms",
-                init_style="xavier", flash=self.flash, rot_dim=30,
-                dtype=self.dtype,
-                name=f"languageEncoders_{i}")(
-                    words, attention_mask, deterministic=deterministic)
+        # MOSI's languageEncoder builds RotaryEmbedding(dim=30) — not
+        # the usual 48 (`src/meant/meant_mosi.py:109-113`)
+        words = _lang_tower(words, self, dict(
+            dim=self.text_dim, num_heads=self.num_heads, norm="layer",
+            ff_norm2="rms", init_style="xavier", flash=self.flash,
+            rot_dim=30, dtype=self.dtype), attention_mask, deterministic)
 
         audio_repr = None
         if audio is not None:
@@ -283,7 +289,8 @@ class meant_mosi(nn.Module):
             dim=self.image_dim, image_size=20, patch_size=1,
             num_frames=self.lag, num_classes=self.num_classes,
             depth=self.num_encoders, heads=8, dim_head=64, attn_dropout=0.1,
-            ff_dropout=0.1, channels=1, flash=self.flash, dtype=self.dtype,
+            ff_dropout=0.1, channels=1, flash=self.flash,
+            scan_layers=self.scan_layers, remat=self.remat, dtype=self.dtype,
             name="timesformer")(video, deterministic=deterministic,
                                 return_tokens=True)
         img_tokens = img_tokens[:, 1:]                   # drop cls

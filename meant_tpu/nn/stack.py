@@ -144,3 +144,38 @@ def unstack_encoder_params(params, prefix: str, num_layers: int,
     for i in range(num_layers):
         out[f"{prefix}_{i}"] = jax.tree.map(lambda x, i=i: x[i], stacked)
     return out
+
+
+# One TimeSformer layer = six flat-named component subtrees (the unrolled
+# layout the torch importer produces, `utils/port.import_timesformer`).
+TS_COMPONENTS = ("time_norm", "time_attn", "space_norm", "space_attn",
+                 "ff_norm", "ff")
+
+
+def stack_timesformer_params(ts_params, depth: int,
+                             scan_name: str = "layers_scan"):
+    """Unrolled TimeSformer subtree (``time_attn_{i}``/``ff_{i}``/… flat
+    names, nn/timesformer.py) -> the ``layers_scan`` scanned layout. Takes
+    and returns the TIMESFORMER subtree (``params['timesformer']`` in the
+    meant_timesformer/mosi models)."""
+    import jax.numpy as jnp
+
+    out = dict(ts_params)
+    enc = {}
+    for comp in TS_COMPONENTS:
+        trees = [out.pop(f"{comp}_{i}") for i in range(depth)]
+        enc[comp] = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    out[scan_name] = {"enc": enc}
+    return out
+
+
+def unstack_timesformer_params(ts_params, depth: int,
+                               scan_name: str = "layers_scan"):
+    """Inverse of stack_timesformer_params (scanned -> unrolled layout)."""
+    out = dict(ts_params)
+    stacked = out.pop(scan_name)["enc"]
+    for comp in TS_COMPONENTS:
+        for i in range(depth):
+            out[f"{comp}_{i}"] = jax.tree.map(lambda x, i=i: x[i],
+                                              stacked[comp])
+    return out

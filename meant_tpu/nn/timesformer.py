@@ -180,8 +180,60 @@ def token_shift(x, f: int):
     return jnp.concatenate((cls_x, tok), axis=1)
 
 
+class TSBlock(nn.Module):
+    """One TimeSformer layer (time attn -> space attn -> GEGLU FF, each
+    pre-LN'd with residual) as a standalone module: the lax.scan body for
+    `TimeSformer(scan_layers=True)` (nn/stack.py). Child names mirror the
+    unrolled layout minus the `_i` suffix, so
+    stack/unstack_timesformer_params convert checkpoints both ways."""
+    dim: int
+    dim_head: int
+    heads: int
+    f: int            # frames (time group size)
+    n: int            # patches per frame (space group size)
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    shift_tokens: bool = False
+    flash: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, frame_rot, image_rot, deterministic: bool = True):
+        y = x
+        if self.shift_tokens:
+            y = token_shift(y, self.f)
+        y = nn.LayerNorm(name="time_norm")(y)
+        x = TSAttention(self.dim, self.dim_head, self.heads,
+                        self.attn_dropout, flash=self.flash,
+                        dtype=self.dtype, name="time_attn")(
+            y, group_size=self.f, num_groups=self.n, rot_sincos=frame_rot,
+            group_axis_first=False, deterministic=deterministic) + x
+        y = x
+        if self.shift_tokens:
+            y = token_shift(y, self.f)
+        y = nn.LayerNorm(name="space_norm")(y)
+        x = TSAttention(self.dim, self.dim_head, self.heads,
+                        self.attn_dropout, flash=self.flash,
+                        dtype=self.dtype, name="space_attn")(
+            y, group_size=self.n, num_groups=self.f, rot_sincos=image_rot,
+            group_axis_first=True, deterministic=deterministic) + x
+        y = x
+        if self.shift_tokens:
+            y = token_shift(y, self.f)
+        y = nn.LayerNorm(name="ff_norm")(y)
+        return GEGLUFeedForward(self.dim, dropout=self.ff_dropout,
+                                dtype=self.dtype, name="ff")(
+            y, deterministic=deterministic) + x
+
+
 class TimeSformer(nn.Module):
-    """`src/meant/timesformer_pytorch.py:150-265`."""
+    """`src/meant/timesformer_pytorch.py:150-265`.
+
+    scan_layers=True rolls the depth axis into ONE lax.scan over
+    layer-stacked TSBlock params (`layers_scan`) — O(1)-in-depth program
+    size and compile time, same contract as the meant towers (nn/stack.py);
+    the scanned body always remats (default 'dots'). Requires rotary_emb
+    (the learned pos_emb path is depth-independent anyway)."""
     dim: int
     num_frames: int
     num_classes: int
@@ -196,6 +248,8 @@ class TimeSformer(nn.Module):
     rotary_emb: bool = True
     shift_tokens: bool = False
     flash: bool = False   # Pallas kernel for long time/space groups
+    scan_layers: bool = False
+    remat: Optional[object] = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -229,6 +283,28 @@ class TimeSformer(nn.Module):
             pos = self.param("pos_emb", nn.initializers.normal(0.02),
                              (1 + self.num_frames * n, self.dim))
             x = x + pos[: x.shape[1]]
+
+        if self.scan_layers:
+            assert self.rotary_emb, (
+                "TimeSformer(scan_layers=True) requires rotary_emb: the "
+                "sincos context is broadcast into the scan body")
+            from meant_tpu.nn.stack import scanned_stack
+            return_x = scanned_stack(
+                TSBlock, self.depth,
+                dict(dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                     f=f, n=n, attn_dropout=self.attn_dropout,
+                     ff_dropout=self.ff_dropout,
+                     shift_tokens=self.shift_tokens, flash=self.flash,
+                     dtype=self.dtype),
+                name="layers_scan", n_ctx=2,
+                remat=self.remat if self.remat else "dots")(
+                    x, frame_rot, image_rot, deterministic)
+            x = return_x
+            if return_tokens:
+                return x
+            x = nn.LayerNorm(name="out_norm")(x[:, 0])
+            return nn.Dense(self.num_classes, dtype=self.dtype,
+                            name="out_proj")(x)
 
         for i in range(self.depth):
             y = x

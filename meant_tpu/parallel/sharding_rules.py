@@ -20,10 +20,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path regex, PartitionSpec for the kernel) — biases/norms replicate.
 DEFAULT_TP_RULES: Sequence[Tuple[str, P]] = (
-    # column-parallel: shard the OUTPUT features
-    (r"\b(q|k|v|qkv|ff_in|proj_in|intermediate)\b.*kernel", P(None, "model")),
+    # column-parallel: shard the OUTPUT features (TimeSformer's fused
+    # to_qkv included — heads stay whole per shard when heads % tp == 0)
+    (r"\b(q|k|v|qkv|to_qkv|ff_in|proj_in|intermediate)\b.*kernel",
+     P(None, "model")),
     # row-parallel: shard the INPUT features
-    (r"\b(multi_mad|ff_out|proj_out|output)\b.*kernel", P("model", None)),
+    (r"\b(multi_mad|ff_out|proj_out|to_out|output)\b.*kernel",
+     P("model", None)),
     # embeddings: vocab axis
     (r"word_embeddings", P("model", None)),
 )
