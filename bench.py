@@ -36,9 +36,14 @@ BASELINED_WORKLOADS = ("src512", "src_bucketed")
 
 # Per-bucket batch sizes for --budget_buckets (constant-token-budget
 # batching: short buckets run LARGER batches). Sizes must come from the
-# on-chip sweep in scripts/probe_bucket_batch.py — None means the probe
-# data has not been captured for this checkout, and the flag refuses to
-# run rather than emit a measurement under an unmeasured config.
+# on-chip sweep in scripts/probe_bucket_batch.py. MEASURED (v5e, r4):
+# batch scaling LOSES at every bucket — s=128: b16 113.7/s ~= b32 113.6
+# > b64 99.7; s=256: b16 83.4 > b32 80.4; s=384: b16 65.9 > b24 64.3 —
+# the flagship step is compute-bound even at short lengths (the 196-patch
+# x lag-5 vision branch is length-independent), so doubling the batch
+# doubles the step. The measured optimum IS the default b=16 everywhere;
+# no token-budget table ships, and the flag stays gated as the hook for
+# geometries where short buckets do underutilize the chip.
 BUDGET_BUCKET_BATCHES = None
 
 
@@ -370,10 +375,13 @@ def main():
         raise SystemExit("--budget_buckets is a bucketed-loader policy; "
                          "pass --workload src_bucketed")
     if args.budget_buckets and BUDGET_BUCKET_BATCHES is None:
-        raise SystemExit("--budget_buckets requires on-chip per-bucket "
-                         "batch sizes: run scripts/probe_bucket_batch.py "
-                         "and record the winners in bench.py's "
-                         "BUDGET_BUCKET_BATCHES")
+        raise SystemExit(
+            "--budget_buckets has no table to run: the on-chip sweep "
+            "(scripts/probe_bucket_batch.py, r4) measured per-bucket batch "
+            "scaling SLOWER at every bucket (b=16 optimal everywhere — see "
+            "BUDGET_BUCKET_BATCHES in bench.py), so the default bucketed "
+            "workload already runs the measured optimum. Re-run the probe "
+            "and record winners here if the geometry changes.")
     if args.length_hist and args.workload != "src_bucketed":
         raise SystemExit("--length_hist shapes the bucketed length "
                          "distribution; pass --workload src_bucketed")
