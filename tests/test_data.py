@@ -284,6 +284,53 @@ def test_bench_length_histogram_sampler(tmp_path):
     assert 0.45 < (u > 288).mean() < 0.55
 
 
+def test_bench_budget_buckets_cli_gates(monkeypatch):
+    """bench --budget_buckets: refuses outside src_bucketed, and refuses
+    when no measured per-bucket table exists (the r4 on-chip sweep found
+    b=16 optimal at every bucket, so BUDGET_BUCKET_BATCHES ships None);
+    the refusal must cite the probe so the gate is actionable."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--workload", "src512",
+                         "--budget_buckets"])
+    with pytest.raises(SystemExit, match="src_bucketed"):
+        bench.main()
+
+    assert bench.BUDGET_BUCKET_BATCHES is None  # measured: b16 wins all
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--workload", "src_bucketed",
+                         "--budget_buckets"])
+    with pytest.raises(SystemExit, match="probe_bucket_batch"):
+        bench.main()
+
+
+def test_bench_bucketed_builder_accepts_budget_table():
+    """build_src_bucketed with a bucket_batches table: the loader draws
+    the per-bucket sizes and every bucket fills at least one full batch
+    (the path BUDGET_BUCKET_BATCHES flows through if a geometry where
+    token-budget batching pays is ever measured)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import build_src_bucketed
+
+    model, name, loader, b, metric = build_src_bucketed(
+        batch=4, n=16, bucket_batches={128: 8, 256: 8})
+    assert "token-budget" in metric
+    assert loader._bucket_bs(128) == 8 and loader._bucket_bs(512) == 4
+    sizes = {}
+    for batch_out in loader:
+        s_b = int(batch_out["attention_masks"].shape[-1])
+        sizes.setdefault(s_b, batch_out["y"].shape[0])
+    assert sizes[128] == 8 and sizes[512] == 4
+
+
 def test_prefetcher_workers_preserve_order_and_values():
     """Multi-worker Prefetcher: parallel host assembly, ORDERED delivery,
     identical batches to the single-worker path."""
