@@ -177,7 +177,7 @@ def build_src_bucketed(batch: int = 16, n: int = 256,
 
 
 def build_mlm(batch: int = 16, remat=False, scan_layers: bool = False,
-              num_encoders: int = 12):
+              num_encoders: int = 12, full_head: bool = False):
     """MLM pretraining at bertweet geometry — the reference's second
     workload family (`pretrain_mlm.py:317-321`: bertweet RobertaEmbeddings
     -> 12 languageEncoders -> tied RobertaLMHead; vocab 64001, s=128
@@ -202,8 +202,10 @@ def build_mlm(batch: int = 16, remat=False, scan_layers: bool = False,
             "attention_mask": np.ones((b, s), np.float32),
             "labels": labels.astype(np.int32)}
     eff_remat = remat if remat else ("dots" if scan_layers else False)
+    head = "full" if full_head else "gathered"
     metric = (f"MLM pretrain (meant_language_pretrainer-{num_encoders}, "
-              f"bertweet geometry vocab 64001, s={s}, tied head, bf16"
+              f"bertweet geometry vocab 64001, s={s}, tied {head} head, "
+              f"bf16"
               + (f", remat={eff_remat}" if eff_remat else "")
               + (", scan_layers" if scan_layers else "")
               + ") train samples/sec/chip")
@@ -240,7 +242,7 @@ def build_mim(batch: int = 16, remat=False, scan_layers: bool = False,
     return "mim", model, data, b, metric
 
 
-def run_pretrain(kind, model, data, b, steps):
+def run_pretrain(kind, model, data, b, steps, full_head: bool = False):
     """Time the production jitted pretrain step
     (train/pretrain._BasePretrainer._jit_train: fwd + loss + bwd + clipped
     AdamW, donated state) on a device-resident batch."""
@@ -253,7 +255,7 @@ def run_pretrain(kind, model, data, b, steps):
         "model": model, "model_name": f"meant_{kind}_bench",
         "train_data": ArrayLoader(data, b), "epochs": 1,
         "lr": 5e-5, "lrst": "cosine_warm", "run_id": "bench",
-        "mesh": make_mesh(),
+        "gather_masked": not full_head, "mesh": make_mesh(),
     })
     batch = next(iter(tr.train_data))
     tr._init_state(batch)
@@ -340,6 +342,12 @@ def main():
                     help="store the first Adam moment in bf16 (halves its "
                          "HBM footprint + optimizer-pass traffic; parity "
                          "config keeps fp32 moments)")
+    ap.add_argument("--full_mlm_head", action="store_true",
+                    help="with --workload mlm: compute the vocab head at "
+                         "ALL positions (the reference's literal compute) "
+                         "instead of gathering the masked ones first — "
+                         "same loss and gradients (CE ignores -100); "
+                         "measured 1.46x slower on chip at b64")
     ap.add_argument("--fixed_proj", action="store_true",
                     help="repaired lang/image projection (LayerNorm(1) "
                          "dropped, DEFECTS #15) instead of the bug-faithful "
@@ -385,6 +393,9 @@ def main():
     if args.length_hist and args.workload != "src_bucketed":
         raise SystemExit("--length_hist shapes the bucketed length "
                          "distribution; pass --workload src_bucketed")
+    if args.full_mlm_head and args.workload != "mlm":
+        raise SystemExit("--full_mlm_head selects the MLM head layout; "
+                         "pass --workload mlm")
     if args.mu_bf16 and args.eval_mode:
         raise SystemExit("--mu_bf16 changes optimizer-state dtype; the eval "
                          "step runs no optimizer")
@@ -394,11 +405,14 @@ def main():
             raise SystemExit("--eval/--with-input/--fixed_proj/--mu_bf16/"
                              "--int8 are classifier-workload options; the "
                              "mlm/mim workloads time the pretrain step")
+        extra = ({"full_head": args.full_mlm_head}
+                 if args.workload == "mlm" else {})
         kind, model, data, b, metric = (
             build_mlm if args.workload == "mlm" else build_mim)(
             batch=args.batch or 16, remat=args.remat,
-            scan_layers=args.scan_layers)
-        steps, dt = run_pretrain(kind, model, data, b, args.steps)
+            scan_layers=args.scan_layers, **extra)
+        steps, dt = run_pretrain(kind, model, data, b, args.steps,
+                                 full_head=args.full_mlm_head)
         per_chip = steps * b / dt / max(len(jax.devices()), 1)
         print(json.dumps({"metric": metric, "value": round(per_chip, 2),
                           "unit": "samples/sec/chip", "vs_baseline": None}))

@@ -121,6 +121,11 @@ def base_parser() -> argparse.ArgumentParser:
                         "'full' (save nothing), '--remat dots' = selective "
                         "(matmul outputs saved; nn/stack.py) — the "
                         "HBM-vs-FLOPs lever (meant-family towers)")
+    p.add_argument("--full_mlm_head", action="store_true",
+                   help="MLM: compute the vocab head at ALL positions (the "
+                        "reference's literal compute) instead of gathering "
+                        "the masked ones first — same loss and gradients "
+                        "(CE ignores -100), 1.46x slower on chip at b64")
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--text_dim", type=int, default=768)

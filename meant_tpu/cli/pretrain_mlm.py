@@ -74,6 +74,7 @@ def main(argv=None):
         "tmax": args.tmax, "optimizer": args.optimizer,
         "file_path": args.file_path, "run_id": args.run_id,
         "num_encoders": args.num_encoders, "track": args.track,
+        "gather_masked": not args.full_mlm_head,
         "mesh": make_mesh(),
     })
     t0 = time.time()

@@ -44,6 +44,30 @@ def mlm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
+def default_gather_capacity(seq_len: int) -> int:
+    """Per-example masked-position capacity for the gathered MLM head:
+    37.5% of the sequence, rounded up to a lane-friendly multiple of 8.
+    Masking is Bernoulli(0.15) per eligible token (`data/masking.py`), so
+    at s=128 the per-row count is mean 19.2, sd 4.0 — capacity 48 sits
+    ~7 sigma out (overflow ~1e-12/row; a guard poisons the loss with NaN
+    if it ever happens rather than silently dropping positions)."""
+    return min(seq_len, max(8, ((int(seq_len * 3 // 8) + 7) // 8) * 8))
+
+
+def masked_positions(labels: jnp.ndarray, capacity: int):
+    """(b, s) MLM labels -> ((b, k) positions of the masked tokens padded
+    with arbitrary valid indices, (b, k) gathered labels where padding
+    rows carry -100 and thus contribute nothing, bool overflow flag)."""
+    valid = labels != IGNORE_INDEX
+    # stable argsort of the invalidity mask puts masked positions first,
+    # in order; per-row, so a data-sharded batch stays batch-local
+    order = jnp.argsort(jnp.logical_not(valid), axis=-1)
+    pos = order[:, :capacity]
+    sel = jnp.take_along_axis(labels, pos, axis=-1)
+    overflow = jnp.any(jnp.sum(valid, axis=-1) > capacity)
+    return pos, sel, overflow
+
+
 def mim_l1_loss(pred: jnp.ndarray, labels: jnp.ndarray,
                 masked_only: bool = False) -> jnp.ndarray:
     """Reference MIM loss (`pretrain_mim.py:162,204`): plain
@@ -206,6 +230,15 @@ class _BasePretrainer:
 class mlm_pretrainer(_BasePretrainer):
     kind = "mlm"
 
+    def __init__(self, p: Dict[str, Any]):
+        super().__init__(p)
+        # gather the masked positions BEFORE the vocab-64001 head — exact
+        # math (see meant_language_pretrainer.positions), measured 1.46x
+        # end-to-end on chip at b64 (905 -> 1322 samples/s); False = full
+        # (b, s, vocab) logits, the reference's literal compute
+        self.gather_masked = p.get("gather_masked", True)
+        self.gather_capacity = p.get("gather_capacity")
+
     def _init_variables(self, rng, batch):
         return self.model.init({"params": rng, "dropout": rng},
                                jnp.asarray(batch["input_ids"]),
@@ -213,11 +246,26 @@ class mlm_pretrainer(_BasePretrainer):
 
     def _apply(self, params, batch, deterministic, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
+        if self.gather_masked:
+            cap = self.gather_capacity or default_gather_capacity(
+                batch["labels"].shape[-1])
+            pos, sel, overflow = masked_positions(batch["labels"], cap)
+            logits = self.model.apply(
+                {"params": params}, batch["input_ids"],
+                batch["attention_mask"], deterministic=deterministic,
+                positions=pos, rngs=rngs)
+            return logits, sel, overflow
         return self.model.apply({"params": params}, batch["input_ids"],
                                 batch["attention_mask"],
                                 deterministic=deterministic, rngs=rngs)
 
     def _loss(self, out, batch):
+        if self.gather_masked:
+            logits, sel, overflow = out
+            loss = mlm_loss(logits, sel)
+            # capacity overflow would silently drop masked positions —
+            # poison the loss instead so nan guards surface it
+            return jnp.where(overflow, jnp.nan, loss)
         return mlm_loss(out, batch["labels"])
 
 

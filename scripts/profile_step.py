@@ -50,16 +50,60 @@ def summarize(trace_path, n_steps):
         print(f"  {d / n_steps / 1e3:8.2f} ms/step  {b:28s} {s}")
 
 
+def profile_pretrain(args):
+    """mlm/mim: profile the production jitted pretrain step."""
+    import jax
+    import bench
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.parallel import make_mesh, shard_batch
+    from meant_tpu.train.pretrain import mim_pretrainer, mlm_pretrainer
+
+    build = bench.build_mlm if args.workload == "mlm" else bench.build_mim
+    kind, model, data, b, _ = build(batch=args.batch or 16)
+    cls = mlm_pretrainer if kind == "mlm" else mim_pretrainer
+    tr = cls({
+        "model": model, "model_name": f"meant_{kind}_prof",
+        "train_data": ArrayLoader(data, b), "epochs": 1,
+        "lr": 5e-5, "lrst": "cosine_warm", "run_id": "prof",
+        "mesh": make_mesh(),
+    })
+    batch = next(iter(tr.train_data))
+    tr._init_state(batch)
+    tr._build_steps()
+    db = shard_batch(jax.tree.map(jax.numpy.asarray, dict(batch)), tr.mesh)
+    for _ in range(3):
+        tr.state, loss = tr._jit_train(tr.state, db)
+    print(f"warm loss {float(loss):.4f}")
+
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.steps):
+        tr.state, loss = tr._jit_train(tr.state, db)
+    float(loss)
+    jax.profiler.stop_trace()
+    dt = time.perf_counter() - t0
+    print(f"traced {args.steps} steps in {dt * 1e3:.1f} ms "
+          f"({args.steps * b / dt:.1f} samples/s)")
+    traces = sorted(glob.glob(os.path.join(
+        args.out, "plugins/profile/*/*.trace.json.gz")), key=os.path.getmtime)
+    print("trace:", traces[-1])
+    summarize(traces[-1], args.steps)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="src512")
     ap.add_argument("--out", default="/tmp/meant_step_trace")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="batch override (mlm/mim workloads)")
     args = ap.parse_args()
 
     import jax
     import bench
 
+    if args.workload in ("mlm", "mim"):
+        return profile_pretrain(args)
     if args.workload == "paper128":
         model, name, data, b, _ = bench.build_paper128()
     elif args.workload == "src256":

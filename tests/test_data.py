@@ -310,6 +310,28 @@ def test_bench_budget_buckets_cli_gates(monkeypatch):
         bench.main()
 
 
+def test_bench_full_mlm_head_cli_gate(monkeypatch):
+    """bench --full_mlm_head: refuses outside the mlm workload, and the
+    emitted metric string discloses which head layout actually ran
+    (gathered = default exact-math optimization; full = the reference's
+    literal all-positions compute)."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--workload", "src512",
+                         "--full_mlm_head"])
+    with pytest.raises(SystemExit, match="workload mlm"):
+        bench.main()
+
+    assert "tied gathered head" in bench.build_mlm(batch=2)[4]
+    assert "tied full head" in bench.build_mlm(batch=2, full_head=True)[4]
+
+
 def test_bench_bucketed_builder_accepts_budget_table():
     """build_src_bucketed with a bucket_batches table: the loader draws
     the per-bucket sizes and every bucket fills at least one full batch

@@ -115,6 +115,58 @@ class TestEndToEnd:
         hist = tr.train()
         assert hist[-1]["train_loss"] < hist[0]["train_loss"]
 
+    def test_mlm_gathered_head_is_exact(self, tmp_path):
+        """gather_masked computes the vocab head at the masked positions
+        only; CE's -100 ignore zeroes the logit cotangent at every other
+        position, so loss AND gradients must match the full head exactly
+        (fp32 CPU: to float tolerance)."""
+        from meant_tpu.parallel import shard_batch
+        rng = np.random.RandomState(1)
+        n, s = 16, 16
+        ids = rng.randint(4, 60, size=(n, s)).astype(np.int32)
+        inputs, labels = mask_tokens(ids, mask_token_id=63,
+                                     special_ids=[0, 1, 2], seed=2)
+        data = {"input_ids": inputs.astype(np.int32),
+                "labels": labels.astype(np.int32),
+                "attention_mask": np.ones((n, s), np.float32)}
+        model = meant_language_pretrainer(num_encoders=1, embedding=TINY_EMB,
+                                          text_dim=32, num_heads=4)
+        losses, params = [], []
+        for gather in (False, True):
+            tr = mlm_pretrainer({
+                "model": model, "model_name": "meant_language_pretrainer",
+                "train_data": ArrayLoader(data, 16), "epochs": 1,
+                "lr": 1e-3, "lrst": "constant", "seed": 3,
+                "file_path": str(tmp_path), "run_id": f"g{gather}",
+                "gather_masked": gather})
+            batch = next(iter(tr.train_data))
+            tr._init_state(batch)
+            tr._build_steps()
+            db = shard_batch(jax.tree.map(jnp.asarray, dict(batch)), tr.mesh)
+            state, loss = tr._jit_train(tr.state, db)
+            losses.append(float(loss))
+            params.append(jax.tree.map(np.asarray, state.params))
+        assert abs(losses[0] - losses[1]) < 1e-6
+        flatA = jax.tree_util.tree_leaves_with_path(params[0])
+        flatB = jax.tree_util.tree_leaves(params[1])
+        for (path, a), b in zip(flatA, flatB):
+            np.testing.assert_allclose(
+                a, b, atol=2e-6, rtol=1e-5,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_masked_positions_overflow_poisons_loss(self):
+        from meant_tpu.train.pretrain import (default_gather_capacity,
+                                              masked_positions, mlm_loss)
+        assert default_gather_capacity(128) == 48
+        assert default_gather_capacity(16) == 8
+        labels = np.full((2, 16), 5, np.int32)   # ALL positions masked
+        pos, sel, overflow = masked_positions(jnp.asarray(labels), 8)
+        assert bool(overflow)
+        labels[:, 8:] = IGNORE_INDEX             # exactly at capacity
+        pos, sel, overflow = masked_positions(jnp.asarray(labels), 8)
+        assert not bool(overflow)
+        assert np.all(np.asarray(sel) == 5)
+
     def test_mim_pretraining_runs(self, tmp_path):
         rng = np.random.RandomState(0)
         n = 16
