@@ -242,15 +242,128 @@ def build_mim(batch: int = 16, remat=False, scan_layers: bool = False,
     return "mim", model, data, b, metric
 
 
+def build_vqa(batch: int = 64, num_encoders: int = 12, remat=False,
+              scan_layers: bool = False):
+    """VQA transfer at the reference geometry (`vqa.py:442-452`: 768-dim
+    towers, 224², patch 16, lag 1, -nec default 12; `run_vqa.sh`/`vqa.py:319`
+    train_batch_size 64; questions tokenized to max_length 40,
+    `utils/custom_datasets.py:175`; answer space len(id2label)+1 = 3130 for
+    the Graphcore/vqa label set). Soft VQA-v2 targets (min(1, count/3)
+    weights) into the soft-target-CE loss. NOTE: the reference's own
+    meant-VQA path is shape-incompatible as shipped (DEFECTS #31 — the
+    ViltProcessor emits 3-channel variable-size pixel_values, the 4-channel
+    224² patchEmbed crashes), so this measures the repaired semantics the
+    CLI ships (4-channel 224² inputs) and vs_baseline is null (the
+    reference produced no meant VQA rate; only ViLT/VL-BERT runs exist)."""
+    from meant_tpu.models import EmbeddingConfig, meant_vqa
+
+    b, s, ncls = batch, 40, 3130
+    model = meant_vqa(text_dim=768, image_dim=768, price_dim=4, height=224,
+                      width=224, patch_res=16, lag=1, num_classes=ncls,
+                      embedding=EmbeddingConfig(), num_heads=8,
+                      num_encoders=num_encoders, scan_layers=scan_layers,
+                      remat=remat, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    labels = np.zeros((b, ncls), np.float32)
+    hard = rng.randint(0, ncls, size=b)
+    labels[np.arange(b), hard] = 1.0
+    soft = rng.randint(0, ncls, size=b)   # a second annotator answer
+    labels[np.arange(b), soft] = np.maximum(labels[np.arange(b), soft], 1 / 3)
+    data = {
+        "language_input_ids": rng.randint(
+            2, 64000, size=(b, s)).astype(np.int32),
+        "pixel_values": rng.randn(b, 4, 224, 224).astype(np.float32),
+        "attention_mask": np.ones((b, s), np.float32),
+        "pixel_mask": np.ones((b, 224, 224), np.float32),
+        "labels": labels,
+    }
+    eff_remat = remat if remat else ("dots" if scan_layers else False)
+    metric = (f"VQA transfer (meant_vqa-{num_encoders}, s=40 questions, "
+              f"4x224x224, soft-target CE over 3130 answers, bf16"
+              + (f", remat={eff_remat}" if eff_remat else "")
+              + (", scan_layers" if scan_layers else "")
+              + ") train samples/sec/chip")
+    return model, data, b, metric
+
+
+def run_vqa(model, data, b, steps):
+    """Time the production jitted VQA train step (train/vqa.vqa_trainer:
+    fwd + soft-target CE + bwd + AdamW + device-side confusion delta,
+    donated state) on a device-resident batch."""
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.parallel import make_mesh, shard_batch
+    from meant_tpu.train.vqa import vqa_trainer
+
+    tr = vqa_trainer({
+        "model": model, "model_name": "meant_vqa_bench",
+        "train_loader": ArrayLoader(data, b), "epochs": 1,
+        "num_classes": data["labels"].shape[-1], "lr": 5e-5,
+        "lrst": "cosine_warm", "run_id": "bench", "mesh": make_mesh(),
+    })
+    batch = next(iter(tr.train_loader))
+    tr._init_state(batch)
+    tr._build_steps()
+    db = shard_batch(jax.tree.map(jnp.asarray, dict(batch)), tr.mesh)
+    tr.state, loss, _ = tr._jit_train(tr.state, db)
+    loss_first = float(loss)   # compile barrier (tunnel-safe)
+    for _ in range(2):
+        tr.state, loss, _ = tr._jit_train(tr.state, db)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tr.state, loss, _ = tr._jit_train(tr.state, db)
+    loss_last = float(loss)
+    dt = time.perf_counter() - t0
+    print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
+          f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
+    return steps, dt
+
+
+def build_ner(batch: int = 32):
+    """Token-classification fine-tune at the reference NER geometry
+    (`checkpoint_train.py:112`: s=256 hardcoded padding; bertweet/roberta
+    backbone — vocab 64001, hidden 768, 12 layers; 9 JNLPBA/GENIA BIO tag
+    classes, `src/hug/in_loop_genia.py:363`). Labels follow the
+    first-subword alignment policy (`checkpoint_train.py:115-135`): ~45%
+    of interior positions carry a tag, the rest -100. Loss/optimizer are
+    the faithful conventions (per-example CE averaged sum/batch_size, NO
+    grad clip — trajectory-parity tested). b=32 is OUR throughput batch;
+    the reference default trains at b=1 (`checkpoint_train.py:252`), which
+    no throughput number should honor. vs_baseline null — the reference
+    logs record no NER rate."""
+    from meant_tpu.train.ner import TokenClassifier
+
+    b, s, nl = batch, 256, 9
+    model = TokenClassifier(num_labels=nl, vocab_size=64001,
+                            hidden_size=768, num_layers=12,
+                            dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, nl, size=(b, s)).astype(np.int32)
+    labels[rng.rand(b, s) >= 0.45] = -100
+    labels[:, 0] = -100      # BOS/EOS specials are never labeled
+    labels[:, -1] = -100
+    data = {
+        "input_ids": rng.randint(2, 64000, size=(b, s)).astype(np.int32),
+        "attention_mask": np.ones((b, s), np.float32),
+        "labels": labels,
+    }
+    metric = ("NER fine-tune (bertweet-geometry TokenClassifier-12, s=256, "
+              "9 BIO tags, per-example CE, bf16) train samples/sec/chip")
+    return "ner", model, data, b, metric
+
+
 def run_pretrain(kind, model, data, b, steps, full_head: bool = False):
     """Time the production jitted pretrain step
     (train/pretrain._BasePretrainer._jit_train: fwd + loss + bwd + clipped
-    AdamW, donated state) on a device-resident batch."""
+    AdamW, donated state) on a device-resident batch. Also drives the
+    ner_trainer (same _BasePretrainer step contract)."""
     from meant_tpu.data import ArrayLoader
     from meant_tpu.parallel import make_mesh, shard_batch
+    from meant_tpu.train.ner import ner_trainer
     from meant_tpu.train.pretrain import mim_pretrainer, mlm_pretrainer
 
-    cls = mlm_pretrainer if kind == "mlm" else mim_pretrainer
+    cls = {"mlm": mlm_pretrainer, "mim": mim_pretrainer,
+           "ner": ner_trainer}[kind]
     tr = cls({
         "model": model, "model_name": f"meant_{kind}_bench",
         "train_data": ArrayLoader(data, b), "epochs": 1,
@@ -280,7 +393,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="src512",
                     choices=["src512", "src256", "paper128",
-                             "src_bucketed", "src512_large", "mlm", "mim"])
+                             "src_bucketed", "src512_large", "mlm", "mim",
+                             "vqa", "ner"])
     ap.add_argument("--batch", type=int, default=None,
                     help="override the workload's default batch size")
     ap.add_argument("--remat", nargs="?", const="full", default=False,
@@ -399,20 +513,43 @@ def main():
     if args.mu_bf16 and args.eval_mode:
         raise SystemExit("--mu_bf16 changes optimizer-state dtype; the eval "
                          "step runs no optimizer")
-    if args.workload in ("mlm", "mim"):
+    if args.workload in ("mlm", "mim", "ner"):
         if args.eval_mode or args.with_input or args.fixed_proj \
-                or args.mu_bf16 or args.int8:
+                or args.mu_bf16 or args.int8 or args.accum > 1:
             raise SystemExit("--eval/--with-input/--fixed_proj/--mu_bf16/"
-                             "--int8 are classifier-workload options; the "
-                             "mlm/mim workloads time the pretrain step")
-        extra = ({"full_head": args.full_mlm_head}
-                 if args.workload == "mlm" else {})
-        kind, model, data, b, metric = (
-            build_mlm if args.workload == "mlm" else build_mim)(
-            batch=args.batch or 16, remat=args.remat,
-            scan_layers=args.scan_layers, **extra)
+                             "--int8/--accum are classifier-workload "
+                             "options; the mlm/mim/ner workloads time the "
+                             "pretrain-style step")
+        if args.workload == "ner":
+            if args.remat or args.scan_layers:
+                raise SystemExit("--remat/--scan_layers cover the "
+                                 "meant-family towers; the NER RobertaModel "
+                                 "backbone does not take them")
+            kind, model, data, b, metric = build_ner(batch=args.batch or 32)
+        else:
+            extra = ({"full_head": args.full_mlm_head}
+                     if args.workload == "mlm" else {})
+            kind, model, data, b, metric = (
+                build_mlm if args.workload == "mlm" else build_mim)(
+                batch=args.batch or 16, remat=args.remat,
+                scan_layers=args.scan_layers, **extra)
         steps, dt = run_pretrain(kind, model, data, b, args.steps,
                                  full_head=args.full_mlm_head)
+        per_chip = steps * b / dt / max(len(jax.devices()), 1)
+        print(json.dumps({"metric": metric, "value": round(per_chip, 2),
+                          "unit": "samples/sec/chip", "vs_baseline": None}))
+        return
+    if args.workload == "vqa":
+        if args.eval_mode or args.with_input or args.fixed_proj \
+                or args.mu_bf16 or args.int8 or args.accum > 1:
+            raise SystemExit("--eval/--with-input/--fixed_proj/--mu_bf16/"
+                             "--int8/--accum are classifier-workload "
+                             "options; the vqa workload times the VQA "
+                             "transfer step")
+        model, data, b, metric = build_vqa(
+            batch=args.batch or 64, remat=args.remat,
+            scan_layers=args.scan_layers)
+        steps, dt = run_vqa(model, data, b, args.steps)
         per_chip = steps * b / dt / max(len(jax.devices()), 1)
         print(json.dumps({"metric": metric, "value": round(per_chip, 2),
                           "unit": "samples/sec/chip", "vs_baseline": None}))
