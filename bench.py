@@ -352,6 +352,60 @@ def build_ner(batch: int = 32):
     return "ner", model, data, b, metric
 
 
+def build_textclf(batch: int = 32):
+    """Sequence-classification fine-tune — the CustomTrainer /
+    tweet_eval-style family (`trainer/trainer.py`, `src/hug` fine-tunes)
+    over the reference's bertweet classifier head (`meant/hf_wrapper.py:
+    75-90`: bertweet -> pooler -> [LayerNorm, GELU, Linear, Sigmoid],
+    output_dim default 2). s=128 tweets (bertweet cap), CE-on-sigmoid
+    convention. vs_baseline null — no reference rate exists."""
+    from meant_tpu.models import bertweet_wrapper
+
+    b, s, ncls = batch, 128, 2
+    model = bertweet_wrapper(input_dim=768, output_dim=ncls,
+                             vocab_size=64001, num_layers=12,
+                             dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    data = {
+        "input_ids": rng.randint(2, 64000, size=(b, s)).astype(np.int32),
+        "y": rng.randint(0, ncls, size=(b,)).astype(np.int32),
+    }
+    metric = ("Text classification (bertweet_wrapper-12, s=128, 2 classes, "
+              "CE-on-sigmoid, bf16) train samples/sec/chip")
+    return model, data, b, metric
+
+
+def run_textclf(model, data, b, steps):
+    """Time the production jitted text_classifier_trainer step (fwd +
+    CE-on-sigmoid + bwd + AdamW + confusion delta, donated state) on a
+    device-resident batch."""
+    from meant_tpu.data import ArrayLoader
+    from meant_tpu.parallel import make_mesh, shard_batch
+    from meant_tpu.train.text_classify import text_classifier_trainer
+
+    tr = text_classifier_trainer({
+        "model": model, "train_loader": ArrayLoader(data, b),
+        "epochs": 1, "num_classes": 2, "lr": 5e-5,
+        "loss": "Cross Entropy", "mesh": make_mesh(),
+    })
+    batch = next(iter(tr.loader))
+    tr._setup(batch)
+    db = shard_batch(jax.tree.map(jnp.asarray, dict(batch)), tr.mesh)
+    tr.state, loss, _ = tr._jit_train(tr.state, db)
+    loss_first = float(loss)   # compile barrier (tunnel-safe)
+    for _ in range(2):
+        tr.state, loss, _ = tr._jit_train(tr.state, db)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tr.state, loss, _ = tr._jit_train(tr.state, db)
+    loss_last = float(loss)
+    dt = time.perf_counter() - t0
+    print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
+          f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
+    return steps, dt
+
+
 def run_pretrain(kind, model, data, b, steps, full_head: bool = False):
     """Time the production jitted pretrain step
     (train/pretrain._BasePretrainer._jit_train: fwd + loss + bwd + clipped
@@ -394,7 +448,7 @@ def main():
     ap.add_argument("--workload", default="src512",
                     choices=["src512", "src256", "paper128",
                              "src_bucketed", "src512_large", "mlm", "mim",
-                             "vqa", "ner"])
+                             "vqa", "ner", "textclf"])
     ap.add_argument("--batch", type=int, default=None,
                     help="override the workload's default batch size")
     ap.add_argument("--remat", nargs="?", const="full", default=False,
@@ -539,17 +593,25 @@ def main():
         print(json.dumps({"metric": metric, "value": round(per_chip, 2),
                           "unit": "samples/sec/chip", "vs_baseline": None}))
         return
-    if args.workload == "vqa":
+    if args.workload in ("vqa", "textclf"):
         if args.eval_mode or args.with_input or args.fixed_proj \
                 or args.mu_bf16 or args.int8 or args.accum > 1:
             raise SystemExit("--eval/--with-input/--fixed_proj/--mu_bf16/"
                              "--int8/--accum are classifier-workload "
-                             "options; the vqa workload times the VQA "
-                             "transfer step")
-        model, data, b, metric = build_vqa(
-            batch=args.batch or 64, remat=args.remat,
-            scan_layers=args.scan_layers)
-        steps, dt = run_vqa(model, data, b, args.steps)
+                             f"options; the {args.workload} workload times "
+                             "its own trainer step")
+        if args.workload == "textclf":
+            if args.remat or args.scan_layers:
+                raise SystemExit("--remat/--scan_layers cover the "
+                                 "meant-family towers; the textclf "
+                                 "RobertaModel backbone does not take them")
+            model, data, b, metric = build_textclf(batch=args.batch or 32)
+            steps, dt = run_textclf(model, data, b, args.steps)
+        else:
+            model, data, b, metric = build_vqa(
+                batch=args.batch or 64, remat=args.remat,
+                scan_layers=args.scan_layers)
+            steps, dt = run_vqa(model, data, b, args.steps)
         per_chip = steps * b / dt / max(len(jax.devices()), 1)
         print(json.dumps({"metric": metric, "value": round(per_chip, 2),
                           "unit": "samples/sec/chip", "vs_baseline": None}))
