@@ -373,6 +373,35 @@ def test_bench_vqa_ner_builders_and_gates(monkeypatch):
         bench.main()
 
 
+def test_bench_tweet_builder_and_gates(monkeypatch):
+    """bench --workload tweet: builder emits the Stocknet run geometry
+    (`in_loop_train.py:520-528`: lag 5, s=128, b32 train default — the
+    config behind the A100 3.69 it/s train / 30.8 it/s b1-eval rows), and
+    --fixed_proj (a meant_src fusion repair) refuses rather than silently
+    mislabeling. The vs_baseline ratio policy is pinned by the constants:
+    train compares at exactly b=32, eval at exactly b=1."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    model, name, data, b, metric = bench.build_tweet(batch=2, num_encoders=1)
+    assert name == "meant_tweet" and b == 2
+    assert "Stocknet" in metric and "s=128" in metric
+    assert data["tweets"].shape == (2, 5, 128)
+    assert data["attention_masks"].shape == (2, 5, 128)
+    # the A100 rates: tqdm it/s x the reference batch (in_loop_train.py:404)
+    assert bench.STOCKNET_TRAIN_B32 == pytest.approx(3.69 * 32, abs=0.1)
+    assert bench.STOCKNET_EVAL_B1 == pytest.approx(30.8)
+
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--workload", "tweet", "--fixed_proj"])
+    with pytest.raises(SystemExit, match="meant_tweet has none"):
+        bench.main()
+
+
 def test_bench_bucketed_builder_accepts_budget_table():
     """build_src_bucketed with a bucket_batches table: the loader draws
     the per-bucket sizes and every bucket fills at least one full batch
