@@ -108,6 +108,8 @@ def main():
         model, name, data, b, _ = bench.build_paper128()
     elif args.workload == "src256":
         model, name, data, b, _ = bench.build_src(256)
+    elif args.workload == "tweet":
+        model, name, data, b, _ = bench.build_tweet(batch=args.batch or 32)
     else:
         model, name, data, b, _ = bench.build_src(512)
 
