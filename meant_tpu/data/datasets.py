@@ -20,6 +20,7 @@ Reference behavior preserved:
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Dict, Tuple
 
@@ -29,17 +30,33 @@ TEMPSTOCK_PRICE_COLS = ("EMA12", "EMA26", "Signal_Line", "MACD_Histogram",
                         "MACD")
 
 
+def _sklearn_shuffle_split(n: int, test_size: float,
+                           seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact sklearn `train_test_split(test_size=..., random_state=seed)`
+    membership AND order, without importing sklearn: ShuffleSplit draws
+    `RandomState(seed).permutation(n)`, takes `ceil(test_size*n)` leading
+    entries as test and the rest as train (sklearn
+    `model_selection._split._validate_shuffle_split` + `ShuffleSplit.
+    _iter_indices`). Pinned against the real sklearn in
+    tests/test_data.py::TestSplit for odd/even/prime n."""
+    perm = np.random.RandomState(seed).permutation(n)
+    n_test = int(math.ceil(test_size * n))
+    return perm[n_test:], perm[:n_test]
+
+
 def train_val_test_split(n: int, seed: int = 42,
-                         train_frac: float = 0.6) -> Tuple[np.ndarray, ...]:
-    """Two-stage split like `train_test_split(random_state=42)` twice
-    (`in_loop_train.py:607-621`): 60% train, then the remainder halved into
-    val/test — deterministic shuffled index split."""
-    rng = np.random.RandomState(seed)
-    idx = rng.permutation(n)
-    n_train = int(n * train_frac)
-    rest = idx[n_train:]
-    n_val = len(rest) // 2
-    return idx[:n_train], rest[:n_val], rest[n_val:]
+                         test_size: float = 0.2,
+                         val_size: float = 0.25) -> Tuple[np.ndarray, ...]:
+    """The reference's two-stage split (`in_loop_train.py:607-621`):
+    `train_test_split(test_size=0.2, random_state=42)` carves off test,
+    then `train_test_split(test_size=0.25, random_state=42)` splits the
+    remainder into train/val — 60/20/20. Index membership and order are
+    IDENTICAL to running sklearn on the same arrays, so real-data F1
+    comparisons against the reference's logged rows (slurm-42756024 /
+    slurm-42916564) are computed on the same test set."""
+    train_val, test = _sklearn_shuffle_split(n, test_size, seed)
+    tr, va = _sklearn_shuffle_split(len(train_val), val_size, seed)
+    return train_val[tr], train_val[va], test
 
 
 def load_tempstock_small(dir_path: str, lag_suffix: str = "_5",
@@ -125,6 +142,47 @@ def djia_from_frame(df, tokenize, lag: int = 5, max_len: int = 512,
     labels = df["label"].to_numpy().astype(np.int32)
     return {"tweets": input_ids, "attention_masks": attention_mask,
             "y": labels}
+
+
+def read_csv_chunk(csv_file: str, start_row: int, end_row: int):
+    """`CSVChunkDataset` analogue (`src/utils/custom_datasets.py:563-571`):
+    read a window of a one-text-column CSV without loading the whole file.
+    Faithful to the reference incl. its `nrows = end_row - start_row - 1`
+    off-by-one (the last requested row is never read) and the fixed
+    `names=['text']` / newline terminator."""
+    import pandas as pd
+    return pd.read_csv(csv_file, skiprows=start_row,
+                       nrows=end_row - start_row - 1, names=["text"],
+                       lineterminator="\n")
+
+
+def clean_bad_vqa(records) -> Tuple[list, list]:
+    """The `clean_bad` flow of `vqa.py:372-400`: a VQA row is bad when its
+    soft-label ids or weights are empty. Accepts HF-style records
+    (`{'label': {'ids': [...], 'weights': [...]}}`) or our
+    `extract_records` layout (`{'answers': {ans: count}}`). Returns
+    (bad_indices, good_indices) like the reference."""
+    bad_indices, good_indices = [], []
+    for index, data in enumerate(records):
+        label = data.get("label") if isinstance(data, dict) else None
+        if label is not None:
+            empty = (len(label.get("ids", ())) == 0
+                     or len(label.get("weights", ())) == 0)
+        else:
+            empty = len(data.get("answers", {})) == 0
+        (bad_indices if empty else good_indices).append(index)
+    return bad_indices, good_indices
+
+
+def filter_arrays(data, good_indices):
+    """`FilteredDataset` analogue (`utils/custom_datasets.py:223-233`):
+    keep only `good_indices`, eagerly materialized like the reference's
+    `data[good_indices]`. Works on our dict-of-arrays layout or any
+    indexable sequence."""
+    if isinstance(data, dict):
+        sel = np.asarray(good_indices, dtype=np.int64)
+        return {k: v[sel] for k, v in data.items()}
+    return [data[i] for i in good_indices]
 
 
 def hash_tokenize(vocab_size: int = 64000, max_len: int = 128):

@@ -41,10 +41,19 @@ def extract_records(questions_json: str, annotations_json: str,
 
 
 def prepare(records: List[dict], tokenize, out_npz: str, max_text_len: int,
-            height: int, width: int, label2id: Dict[str, int] = None):
+            height: int, width: int, label2id: Dict[str, int] = None,
+            drop_bad: bool = True):
     """Tokenize questions, load+center-pad images, build soft targets, save
-    the npz the vqa CLI reads."""
+    the npz the vqa CLI reads. `drop_bad` runs the reference's clean-bad
+    filter first (`vqa.py:372-400`: rows with empty soft labels removed)."""
     from meant_tpu.data_engineering.image_prep import load_chart
+    if drop_bad:
+        from meant_tpu.data.datasets import clean_bad_vqa, filter_arrays
+        bad, good = clean_bad_vqa(records)
+        if bad:
+            print(f"Rows removed: {len(bad)}")
+            print(f"Indices remaining: {len(good)}")
+        records = filter_arrays(records, good)
     if label2id is None:
         label2id = build_label2id([list(r["answers"]) for r in records])
     rows = []
