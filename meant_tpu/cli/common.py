@@ -121,6 +121,15 @@ def base_parser() -> argparse.ArgumentParser:
                         "'full' (save nothing), '--remat dots' = selective "
                         "(matmul outputs saved; nn/stack.py) — the "
                         "HBM-vs-FLOPs lever (meant-family towers)")
+    p.add_argument("--hf_cache", type=str, default=None,
+                   help="local HuggingFace cache (hub layout or snapshot "
+                        "dir): initialize from pretrained weights exactly "
+                        "like the reference's from_pretrained flow "
+                        "(in_loop_train.py:440-507 — bertweet embeddings "
+                        "into meant-family models; full backbones for "
+                        "bertweet/vilt/vl_bert, word embeddings swapped "
+                        "for bertweet's). No network is touched; a missing "
+                        "cache is a hard error")
     p.add_argument("--full_mlm_head", action="store_true",
                    help="MLM: compute the vocab head at ALL positions (the "
                         "reference's literal compute) instead of gathering "

@@ -80,6 +80,22 @@ def main(argv=None):
         "mu_dtype": jnp.bfloat16 if args.mu_bf16 else None,
     })
 
+    if args.hf_cache:
+        # the reference's from_pretrained init (`in_loop_train.py:440-507`)
+        # from a LOCAL cache: bertweet embeddings into meant-family models,
+        # full backbones (+ bertweet word-embedding swap) for the HF
+        # wrappers. File formats (safetensors/bin/sharded) are parsed by
+        # utils/hf_cache; the importers in utils/port map to flax params.
+        from meant_tpu.utils.hf_cache import hf_graft
+        batch = next(iter(trainer.train_loader))
+        trainer._init_state(batch)
+        grafted = hf_graft(args.model_name, dict(trainer.state.params),
+                           args.num_encoders, cache_dir=args.hf_cache)
+        trainer.init_params = grafted
+        trainer.state = None  # re-init with the pretrained params
+        print(f"initialized {args.model_name} from local HF cache "
+              f"{args.hf_cache}")
+
     if args.pretrained and args.pretrained_model:
         restored = ckpt.restore(args.pretrained_model)
         batch = next(iter(trainer.train_loader))
