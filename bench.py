@@ -57,6 +57,109 @@ STOCKNET_EVAL_B1 = 30.8
 BUDGET_BUCKET_BATCHES = None
 
 
+N_STAGED_BATCHES = 8   # device-resident batches cycled per timed loop —
+# a single replayed batch can be flattered by buffer-residency effects
+# (VERDICT r4 weak #2); 8 distinct buffers make the input stream honest
+# while keeping HBM staging bounded (~0.4 GB at the flagship shapes).
+
+
+def stage_batches(data, to_device, nb: int = N_STAGED_BATCHES, seed: int = 123):
+    """NB distinct device-resident batches: row-permuted variants of the
+    built batch (one permutation per replica, shared across keys so
+    input/label pairing survives). Distinct device buffers per batch defeat
+    single-batch residency effects; content distribution is identical so
+    the workload label stays exact."""
+    rng = np.random.RandomState(seed)
+    n = len(next(iter(data.values())))
+    out = []
+    for i in range(nb):
+        perm = np.arange(n) if i == 0 else rng.permutation(n)
+        out.append(to_device({k: v[perm] for k, v in data.items()}))
+    return out
+
+
+def timed_windows(run_window, steps: int, windows: int = 5,
+                  stall_factor: float = 2.0, rerun_budget: int = 6):
+    """Self-validating timed loop: run `windows` timed windows (each closed
+    by a value-fetch barrier inside `run_window`), detect tunnel-stall
+    outliers by per-sample-time dispersion, re-time them instead of
+    publishing a poisoned mean (the 25x-off MIM-scan ghost of r4 —
+    README 'rerun any outlier' discipline, now in the tool).
+
+    run_window(k) runs k steps and returns (samples, seconds, steps_run).
+    Returns (samples, seconds, p50_step_ms, n_reruns) over accepted windows.
+    """
+    windows = max(2, min(windows, steps))
+    per = max(1, steps // windows)
+    recs = [run_window(per) for _ in range(windows)]
+    sps = lambda r: r[1] / r[0]          # seconds per sample
+    n_reruns = 0
+    while n_reruns < rerun_budget:
+        med = sorted(sps(r) for r in recs)[len(recs) // 2]
+        worst = max(range(len(recs)), key=lambda i: sps(recs[i]))
+        if sps(recs[worst]) <= stall_factor * med:
+            break
+        print(f"bench: window {worst} ran {1e3 * sps(recs[worst]):.2f} "
+              f"ms/sample vs median {1e3 * med:.2f} — tunnel stall "
+              f"suspected, re-timing", file=sys.stderr)
+        recs[worst] = run_window(per)
+        n_reruns += 1
+    med = sorted(sps(r) for r in recs)[len(recs) // 2]
+    kept = [r for r in recs if sps(r) <= stall_factor * med]
+    if len(kept) < 2:                    # never publish a 1-window mean
+        kept = sorted(recs, key=sps)[:2]
+    if len(kept) < len(recs):
+        print(f"bench: dropped {len(recs) - len(kept)} still-stalled "
+              f"window(s) after {n_reruns} rerun(s)", file=sys.stderr)
+    samples = sum(r[0] for r in kept)
+    dt = sum(r[1] for r in kept)
+    ms = sorted(1e3 * r[1] / r[2] for r in kept)
+    return samples, dt, ms[len(ms) // 2], n_reruns
+
+
+def measure_replay(step, loss_fetch, batches, b: int, steps: int):
+    """Cycle the staged device batches through `step` (which owns its own
+    state update and returns the loss array), windowed + stall-checked."""
+    idx = [0]
+
+    def run_window(k):
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(k):
+            loss = step(batches[idx[0] % len(batches)])
+            idx[0] += 1
+        loss_fetch(loss)                 # tunnel-safe barrier: value fetch
+        return (k * b, time.perf_counter() - t0, k)
+
+    return timed_windows(run_window, steps)
+
+
+def jit_flops(fn, *args):
+    """Best-effort per-step FLOP count from the lowered (unoptimized) HLO —
+    matmul-dominated graphs are counted accurately there. None when the
+    backend can't say. Short-circuits on the axon plugin: its remote
+    compile service re-compiles for cost_analysis (measured ~20+ min on
+    the flagship) and then reports no 'flops' anyway — tf_s is honestly
+    null on the tunneled chip, populated on standard backends."""
+    if jax.default_backend() == "axon":
+        return None
+    try:
+        ca = fn.lower(*args).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float((ca or {}).get("flops", 0) or 0)
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _tf_s(flops, p50_ms):
+    """Achieved TF/s at the p50 step time; None when FLOPs are unknown."""
+    if not flops or not p50_ms:
+        return None
+    return round(flops / (p50_ms / 1e3) / 1e12, 1)
+
+
 def build_paper128():
     from meant_tpu.models import EmbeddingConfig, meant
 
@@ -85,7 +188,9 @@ def build_src(seq_len: int, batch: int = 16, fixed_proj: bool = False,
     model = meant_src(text_dim=768, image_dim=768, price_dim=5, height=224,
                       width=224, patch_res=16, lag=lag, num_classes=2,
                       embedding=EmbeddingConfig(), num_heads=8,
-                      num_encoders=num_encoders, channels=3, seq_len=512,
+                      num_encoders=num_encoders, channels=3,
+                      seq_len=max(512, s),   # fusion-projection width grows
+                      # with the beyond-reference long-seq workloads
                       flash=True, fixed_proj=fixed_proj, remat=remat,
                       scan_layers=scan_layers,
                       dtype=jnp.bfloat16)  # flash on BOTH branches: with
@@ -343,20 +448,25 @@ def run_vqa(model, data, b, steps):
     batch = next(iter(tr.train_loader))
     tr._init_state(batch)
     tr._build_steps()
-    db = shard_batch(jax.tree.map(jnp.asarray, dict(batch)), tr.mesh)
-    tr.state, loss, _ = tr._jit_train(tr.state, db)
+    to_dev = lambda hb: shard_batch(jax.tree.map(jnp.asarray, dict(hb)),
+                                    tr.mesh)
+    batches = stage_batches(dict(batch), to_dev)
+    tr.state, loss, _ = tr._jit_train(tr.state, batches[0])
     loss_first = float(loss)   # compile barrier (tunnel-safe)
     for _ in range(2):
-        tr.state, loss, _ = tr._jit_train(tr.state, db)
+        tr.state, loss, _ = tr._jit_train(tr.state, batches[0])
     float(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    flops = jit_flops(tr._jit_train, tr.state, batches[0])
+
+    def step(db):
         tr.state, loss, _ = tr._jit_train(tr.state, db)
-    loss_last = float(loss)
-    dt = time.perf_counter() - t0
-    print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
-          f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
-    return steps, dt
+        return loss
+
+    samples, dt, p50, n_reruns = measure_replay(step, float, batches, b,
+                                                steps)
+    print(f"loss: step0 {loss_first:.4f} ({len(batches)} staged batches, "
+          f"p50 {p50:.1f} ms/step, {n_reruns} rerun(s))", file=sys.stderr)
+    return samples, dt, p50, n_reruns, flops
 
 
 def build_ner(batch: int = 32):
@@ -430,20 +540,25 @@ def run_textclf(model, data, b, steps):
     })
     batch = next(iter(tr.loader))
     tr._setup(batch)
-    db = shard_batch(jax.tree.map(jnp.asarray, dict(batch)), tr.mesh)
-    tr.state, loss, _ = tr._jit_train(tr.state, db)
+    to_dev = lambda hb: shard_batch(jax.tree.map(jnp.asarray, dict(hb)),
+                                    tr.mesh)
+    batches = stage_batches(dict(batch), to_dev)
+    tr.state, loss, _ = tr._jit_train(tr.state, batches[0])
     loss_first = float(loss)   # compile barrier (tunnel-safe)
     for _ in range(2):
-        tr.state, loss, _ = tr._jit_train(tr.state, db)
+        tr.state, loss, _ = tr._jit_train(tr.state, batches[0])
     float(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    flops = jit_flops(tr._jit_train, tr.state, batches[0])
+
+    def step(db):
         tr.state, loss, _ = tr._jit_train(tr.state, db)
-    loss_last = float(loss)
-    dt = time.perf_counter() - t0
-    print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
-          f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
-    return steps, dt
+        return loss
+
+    samples, dt, p50, n_reruns = measure_replay(step, float, batches, b,
+                                                steps)
+    print(f"loss: step0 {loss_first:.4f} ({len(batches)} staged batches, "
+          f"p50 {p50:.1f} ms/step, {n_reruns} rerun(s))", file=sys.stderr)
+    return samples, dt, p50, n_reruns, flops
 
 
 def run_pretrain(kind, model, data, b, steps, full_head: bool = False):
@@ -467,20 +582,25 @@ def run_pretrain(kind, model, data, b, steps, full_head: bool = False):
     batch = next(iter(tr.train_data))
     tr._init_state(batch)
     tr._build_steps()
-    db = shard_batch(jax.tree.map(jnp.asarray, dict(batch)), tr.mesh)
-    tr.state, loss = tr._jit_train(tr.state, db)
+    to_dev = lambda hb: shard_batch(jax.tree.map(jnp.asarray, dict(hb)),
+                                    tr.mesh)
+    batches = stage_batches(dict(batch), to_dev)
+    tr.state, loss = tr._jit_train(tr.state, batches[0])
     loss_first = float(loss)   # compile barrier (tunnel-safe)
     for _ in range(2):
-        tr.state, loss = tr._jit_train(tr.state, db)
+        tr.state, loss = tr._jit_train(tr.state, batches[0])
     float(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    flops = jit_flops(tr._jit_train, tr.state, batches[0])
+
+    def step(db):
         tr.state, loss = tr._jit_train(tr.state, db)
-    loss_last = float(loss)
-    dt = time.perf_counter() - t0
-    print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
-          f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
-    return steps, dt
+        return loss
+
+    samples, dt, p50, n_reruns = measure_replay(step, float, batches, b,
+                                                steps)
+    print(f"loss: step0 {loss_first:.4f} ({len(batches)} staged batches, "
+          f"p50 {p50:.1f} ms/step, {n_reruns} rerun(s))", file=sys.stderr)
+    return samples, dt, p50, n_reruns, flops
 
 
 def main():
@@ -488,7 +608,8 @@ def main():
     ap.add_argument("--workload", default="src512",
                     choices=["src512", "src256", "paper128",
                              "src_bucketed", "src512_large", "tweet",
-                             "mlm", "mim", "vqa", "ner", "textclf"])
+                             "mlm", "mim", "vqa", "ner", "textclf",
+                             "src2048", "src4096"])
     ap.add_argument("--batch", type=int, default=None,
                     help="override the workload's default batch size")
     ap.add_argument("--remat", nargs="?", const="full", default=False,
@@ -627,11 +748,14 @@ def main():
                 build_mlm if args.workload == "mlm" else build_mim)(
                 batch=args.batch or 16, remat=args.remat,
                 scan_layers=args.scan_layers, **extra)
-        steps, dt = run_pretrain(kind, model, data, b, args.steps,
-                                 full_head=args.full_mlm_head)
-        per_chip = steps * b / dt / max(len(jax.devices()), 1)
+        samples, dt, p50, n_reruns, flops = run_pretrain(
+            kind, model, data, b, args.steps, full_head=args.full_mlm_head)
+        per_chip = samples / dt / max(len(jax.devices()), 1)
         print(json.dumps({"metric": metric, "value": round(per_chip, 2),
-                          "unit": "samples/sec/chip", "vs_baseline": None}))
+                          "unit": "samples/sec/chip", "vs_baseline": None,
+                          "p50_ms": round(p50, 2),
+                          "tf_s": _tf_s(flops, p50),
+                          "n_reruns": n_reruns}))
         return
     if args.workload in ("vqa", "textclf"):
         if args.eval_mode or args.with_input or args.fixed_proj \
@@ -646,15 +770,20 @@ def main():
                                  "meant-family towers; the textclf "
                                  "RobertaModel backbone does not take them")
             model, data, b, metric = build_textclf(batch=args.batch or 32)
-            steps, dt = run_textclf(model, data, b, args.steps)
+            samples, dt, p50, n_reruns, flops = run_textclf(
+                model, data, b, args.steps)
         else:
             model, data, b, metric = build_vqa(
                 batch=args.batch or 64, remat=args.remat,
                 scan_layers=args.scan_layers)
-            steps, dt = run_vqa(model, data, b, args.steps)
-        per_chip = steps * b / dt / max(len(jax.devices()), 1)
+            samples, dt, p50, n_reruns, flops = run_vqa(
+                model, data, b, args.steps)
+        per_chip = samples / dt / max(len(jax.devices()), 1)
         print(json.dumps({"metric": metric, "value": round(per_chip, 2),
-                          "unit": "samples/sec/chip", "vs_baseline": None}))
+                          "unit": "samples/sec/chip", "vs_baseline": None,
+                          "p50_ms": round(p50, 2),
+                          "tf_s": _tf_s(flops, p50),
+                          "n_reruns": n_reruns}))
         return
     if args.workload == "paper128":
         model, name, data, b, metric = build_paper128()
@@ -674,6 +803,17 @@ def main():
                              "projection; meant_tweet has none")
         model, name, data, b, metric = build_tweet(
             batch=args.batch or 32, remat=args.remat,
+            scan_layers=args.scan_layers)
+    elif args.workload in ("src2048", "src4096"):
+        # Beyond-reference long-sequence rows: the blockwise flash kernel's
+        # capability past the reference's 512 cap (its flash_attn call
+        # sites, `meant/xPosAttention_flash.py:41`, never saw s>512).
+        # Token budget matches the flagship (b*lag*s == 16*5*512 = 40960):
+        # b4@2048 / b2@4096. vs_baseline null — no reference row exists.
+        s_long = int(args.workload[3:])
+        model, name, data, b, metric = build_src(
+            s_long, batch=args.batch or (4 if s_long == 2048 else 2),
+            fixed_proj=args.fixed_proj, remat=args.remat,
             scan_layers=args.scan_layers)
     elif args.workload == "src512_large":
         # the paper's Table-1 98.57% geometry (30+30 encoders,
@@ -721,6 +861,7 @@ def main():
     trainer._init_state(batch)
     trainer._build_steps()
 
+    p50 = n_reruns = flops = None
     # compile + warmup. NOTE: on the tunneled TPU platform
     # jax.block_until_ready can return before execution completes — fetching
     # the scalar value is the only reliable completion barrier, so timings
@@ -758,6 +899,7 @@ def main():
                 it = iter(Prefetcher(loader, trainer._device_batch))
         float(loss)
         dt = time.perf_counter() - t0
+        samples = steps * b
         metric += " [with-input%s]" % ("+u8" if args.uint8_charts else "")
     elif args.workload == "src_bucketed":
         # Pre-stage ONE device batch per bucket and replay the epoch's
@@ -778,21 +920,29 @@ def main():
         for db in per_bucket.values():   # compile each bucket shape
             trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
         float(loss)
-        steps = samples = 0
-        t0 = time.perf_counter()
-        for _ in range(2):
+
+        def run_pass(_k):
+            # one window == one full pass over the epoch's bucket sequence,
+            # so every window times the identical length mix (stall
+            # detection compares like with like)
+            t0 = time.perf_counter()
+            rows = 0
             for s_b in sequence:
                 trainer.state, loss, cm = trainer._jit_train(
                     trainer.state, per_bucket[s_b])
-                steps += 1
-                samples += bucket_rows[s_b]   # batches vary per bucket
-                # under --budget_buckets; count rows, not steps*b
-        float(loss)
-        dt = time.perf_counter() - t0
-        b = samples / steps   # make the shared steps*b/dt tail exact
+                rows += bucket_rows[s_b]   # batches vary per bucket under
+                # --budget_buckets; count rows, not steps*b
+            float(loss)
+            return (rows, time.perf_counter() - t0, len(sequence))
+
+        samples, dt, p50, n_reruns = timed_windows(
+            run_pass, steps=4 * len(sequence), windows=4)
     elif args.eval_mode:
-        db = dict(trainer._device_batch(batch))
-        db.setdefault("_weight", jnp.ones((b,), jnp.float32))
+        def to_eval_db(hb):
+            db = dict(trainer._device_batch(hb))
+            db.setdefault("_weight", jnp.ones((len(hb["y"]),), jnp.float32))
+            return db
+        batches = stage_batches(dict(batch), to_eval_db)
         import contextlib
         if args.int8:
             # the interceptor rewrites the graph at TRACE time, so the
@@ -804,35 +954,39 @@ def main():
             ctx = contextlib.nullcontext
         with ctx():
             for _ in range(3):   # compile + warm
-                loss, cm, out = trainer._jit_eval(trainer.state, db)
+                loss, cm, out = trainer._jit_eval(trainer.state, batches[0])
             float(loss)
-            steps = args.steps
-            t0 = time.perf_counter()
-            for _ in range(steps):
+            flops = jit_flops(trainer._jit_eval, trainer.state, batches[0])
+
+            def step(db):
                 loss, cm, out = trainer._jit_eval(trainer.state, db)
-            float(loss)
-            dt = time.perf_counter() - t0
+                return loss
+
+            samples, dt, p50, n_reruns = measure_replay(
+                step, float, batches, b, args.steps)
         metric += " [eval+int8]" if args.int8 else " [eval]"
     else:
-        db = trainer._device_batch(batch)
-        state, loss, cm = trainer._jit_train(trainer.state, db)
+        batches = stage_batches(dict(batch), trainer._device_batch)
+        state, loss, cm = trainer._jit_train(trainer.state, batches[0])
         trainer.state = state
         loss_first = float(loss)
         for _ in range(2):
-            trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
+            trainer.state, loss, cm = trainer._jit_train(trainer.state,
+                                                         batches[0])
         float(loss)
+        flops = jit_flops(trainer._jit_train, trainer.state, batches[0])
 
-        steps = args.steps
-        t0 = time.perf_counter()
-        for _ in range(steps):
+        def step(db):
             trainer.state, loss, cm = trainer._jit_train(trainer.state, db)
-        loss_last = float(loss)  # true barrier: value arrives only after
-        dt = time.perf_counter() - t0  # the chain
-        print(f"loss: step0 {loss_first:.4f} -> step{steps + 3} "
-              f"{loss_last:.4f} (single replayed batch)", file=sys.stderr)
+            return loss
 
-    samples_per_sec = steps * b / dt
-    per_chip = samples_per_sec / max(n_chips, 1)
+        samples, dt, p50, n_reruns = measure_replay(step, float, batches, b,
+                                                    args.steps)
+        print(f"loss: step0 {loss_first:.4f} ({len(batches)} staged "
+              f"batches, p50 {p50:.1f} ms/step, {n_reruns} rerun(s))",
+              file=sys.stderr)
+
+    per_chip = samples / dt / max(n_chips, 1)
     if args.with_input or (args.eval_mode and args.workload != "tweet"):
         # [with-input] numbers are tunnel-H2D-bound (not representative);
         # no eval baseline exists for the src workloads. The tweet eval
@@ -844,6 +998,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": vs,
+        "p50_ms": round(p50, 2) if p50 else None,
+        "tf_s": _tf_s(flops, p50),
+        "n_reruns": n_reruns,
     }))
 
 
