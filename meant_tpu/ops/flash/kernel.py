@@ -976,6 +976,26 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
     if return_lse:
         online = True  # lse is a product of the online forward
 
+    # Resident-BACKWARD scoped-VMEM model (hardware-calibrated, r5). The
+    # q-blocked backward's scoped footprint is DOMINATED by the per-(s_k,d)
+    # residents (K/V + their fp32 conversions + kcos/ksin + rotated copies
+    # + dk/dv accumulators + double-buffering), NOT the (block_q, s_k)
+    # score blocks: on chip, (s_k=4096, d=96) aborts at 21.08 MiB with
+    # bq=256 and still 19.87 MiB with bq=128 — only 9.7 KiB per q-row —
+    # while (2048, 96, bq=512) fits. est = 50*s_k*d + 2.36*bq*s_k bytes
+    # reproduces all three points (18.7+2.4 / 18.7+1.2 / 9.4+2.4 MiB).
+    # Consequence: past s_k*d ~ 325k (s=3456 at d=96) NO bq fits and the
+    # kernel must take the streaming backward (O(block^2) scratch); below
+    # it the cap shrinks bq only where needed (s<=2048 configs unchanged).
+    _RES_BWD_BUDGET = int(15.5 * 1024 * 1024)   # 0.5 MiB model margin
+
+    def _resident_bq_cap():
+        room = _RES_BWD_BUDGET - 50 * s_k * d
+        return (int(room / (2.36 * s_k)) // 128) * 128 if room > 0 else 0
+
+    if block_q is None and not online and _resident_bq_cap() < DEFAULT_BLOCK_Q:
+        online = True   # even 128-row q blocks can't fit the resident bwd
+
     bk = min(int(block_k), s_k) if online else s_k
     if block_q is None:
         # auto q-block sized to a ~4 MB VMEM budget for the fp32 score
@@ -986,6 +1006,9 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
         # streaming grad: bq=1024 2.3x over bq=128 — measured on v5e).
         k_extent = bk if online else s_k
         block_q = max(DEFAULT_BLOCK_Q, (4 * 1024 * 1024) // (4 * k_extent))
+        if not online:
+            block_q = min(block_q,
+                          max(DEFAULT_BLOCK_Q, _resident_bq_cap()))
         if online:
             # The streaming BACKWARD's scoped-VMEM high-water mark holds
             # TWO (bq, bk) fp32 score blocks (p and ds) plus ~a dozen
