@@ -146,9 +146,16 @@ def driver(args):
             "--batch", str(args.batch), "--nec", str(args.nec),
             "--seq", str(args.seq), "--out", args.out]
     kill_epoch = args.epochs // 2
+    kill_step = args.kill_at_step if args.kill_at_step >= 0 else 5
+    # the planted kill must land on a step that exists: the 60% train
+    # split at this batch size gives (0.6*n)//batch steps per epoch
+    steps_per_epoch = int(args.n * 0.6) // args.batch
+    assert kill_step < steps_per_epoch, (
+        f"kill_at_step {kill_step} never fires: only {steps_per_epoch} "
+        f"steps/epoch at n={args.n} b={args.batch} — pass --kill_at_step")
     print(f"soak: phase 1 (will be KILLED mid-epoch {kill_epoch}) ...")
     rc = subprocess.call(base + ["--kill_at_epoch", str(kill_epoch),
-                                 "--kill_at_step", "5"])
+                                 "--kill_at_step", str(kill_step)])
     assert rc == 137, f"phase 1 should die with the planted kill, got {rc}"
 
     recs = [json.loads(l) for l in open(logpath)]
@@ -183,7 +190,11 @@ def driver(args):
         rss = [e["rss_mb"] for e in es]
         assert rss[-1] <= rss[0] * 1.15 + 256, \
             f"RSS drift in pid {p}: {rss}"
-    p50s = [e["p50_ms"] for e in epochs[1:]]   # epoch 0 pays compiles
+    # each process's FIRST epoch pays compiles (epoch 0 in phase 1, the
+    # resume epoch in phase 2 — absorbed by the persistent compile cache
+    # on chip, but not guaranteed), so the steady-state drift window is
+    # every epoch AFTER its process's first
+    p50s = [e["p50_ms"] for es in by_pid.values() for e in es[1:]]
     if len(p50s) >= 2:
         assert max(p50s) <= 1.3 * min(p50s), f"step-time drift: {p50s}"
     losses = [e["mean_loss"] for e in epochs]
